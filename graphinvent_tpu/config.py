@@ -1,0 +1,427 @@
+"""Configuration system for graphinvent-tpu.
+
+A single frozen dataclass replaces the reference's import-time global
+``constants`` namedtuple (reference: graphinvent/parameters/constants.py:135-266
+and graphinvent/parameters/defaults.py:93-441).  Differences by design:
+
+* explicit, serializable, passed by value -- no import-time side effects;
+* ``input.csv`` override files are still understood (same ``;``-delimited
+  format, reference: parameters/load.py:98-115) but values are parsed with
+  ``ast.literal_eval`` instead of ``eval``;
+* optimizer/scheduler state is checkpointed together with the model (the
+  reference silently re-initialised Adam on restart, Workflow.py:208-237).
+
+Derived tensor dimensions mirror parameters/constants.py:38-95 exactly so the
+HDF files written by the reference can be consumed unchanged.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+MODEL_NAMES = ("MNN", "S2V", "AttS2V", "GGNN", "AttGGNN", "EMN")
+
+# Bond type encoding (reference: parameters/constants.py:159-166).  We use
+# plain string names instead of rdkit.BondType enums; order is identical.
+BOND_TYPES = ("single", "double", "triple")
+BOND_TYPES_AROMATIC = ("single", "double", "triple", "aromatic")
+BOND_ORDERS = {0: 1.0, 1: 2.0, 2: 3.0, 3: 1.5}  # index -> bond order
+
+
+# --------------------------------------------------------------------------
+# Per-model hyperparameter presets (reference: parameters/defaults.py:145-433).
+# --------------------------------------------------------------------------
+_COMMON_MLP = dict(
+    mlp1_depth=4, mlp1_dropout_p=0.0, mlp1_hidden_dim=500,
+    mlp2_depth=4, mlp2_dropout_p=0.0, mlp2_hidden_dim=500,
+)
+_GATHER = dict(
+    gather_att_depth=4, gather_att_dropout_p=0.0, gather_att_hidden_dim=250,
+    gather_emb_depth=4, gather_emb_dropout_p=0.0, gather_emb_hidden_dim=250,
+    gather_width=100,
+)
+
+MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
+    "MNN": dict(
+        hidden_node_features=100, message_passes=3, message_size=100,
+        **_COMMON_MLP,
+    ),
+    "S2V": dict(
+        enn_depth=4, enn_dropout_p=0.0, enn_hidden_dim=250,
+        hidden_node_features=100, message_passes=3, message_size=100,
+        s2v_lstm_computations=3, s2v_memory_size=100,
+        **_COMMON_MLP,
+    ),
+    "AttS2V": dict(
+        att_depth=4, att_dropout_p=0.0, att_hidden_dim=250,
+        enn_depth=4, enn_dropout_p=0.0, enn_hidden_dim=250,
+        hidden_node_features=100, message_passes=3, message_size=100,
+        s2v_lstm_computations=3, s2v_memory_size=100,
+        **_COMMON_MLP,
+    ),
+    "GGNN": dict(
+        enn_depth=4, enn_dropout_p=0.0, enn_hidden_dim=250,
+        hidden_node_features=100, message_passes=3, message_size=100,
+        **_COMMON_MLP, **_GATHER,
+    ),
+    "AttGGNN": dict(
+        att_depth=4, att_dropout_p=0.0, att_hidden_dim=250,
+        msg_depth=4, msg_dropout_p=0.0, msg_hidden_dim=250,
+        hidden_node_features=100, message_passes=3, message_size=100,
+        **_COMMON_MLP, **_GATHER,
+    ),
+    "EMN": dict(
+        att_depth=4, att_dropout_p=0.0, att_hidden_dim=250,
+        edge_emb_depth=4, edge_emb_dropout_p=0.0, edge_emb_hidden_dim=250,
+        edge_emb_size=100,
+        msg_depth=4, msg_dropout_p=0.0, msg_hidden_dim=250,
+        message_passes=3,
+        **_COMMON_MLP, **_GATHER,
+    ),
+}
+
+
+@dataclass(frozen=True)
+class GraphInventConfig:
+    """All job parameters + model hyperparameters + derived dimensions.
+
+    Field names intentionally match the reference's parameter dictionary keys
+    (parameters/defaults.py:93-128) so that ``input.csv`` job files written for
+    the reference work unchanged.
+    """
+
+    # ---- chemistry / featurization -------------------------------------
+    atom_types: Tuple[str, ...] = ("C", "N", "O", "S", "Cl")
+    formal_charge: Tuple[int, ...] = (-1, 0, 1)
+    imp_H: Tuple[int, ...] = (0, 1, 2, 3)
+    chirality: Tuple[str, ...] = ("None", "R", "S")
+    max_n_nodes: int = 13
+    use_aromatic_bonds: bool = False
+    use_canon: bool = True
+    use_chirality: bool = False
+    use_explicit_H: bool = False
+    ignore_H: bool = True
+    decoding_route: str = "bfs"
+
+    # ---- job -----------------------------------------------------------
+    job_type: str = "train"              # preprocess|train|generate|test|fine-tune
+    job_dir: str = "./output/"
+    dataset_dir: str = "data/gdb13_1K/"
+    restart: bool = False
+    device: str = "tpu"                  # accepted for compat; ignored (jax picks)
+
+    # ---- training ------------------------------------------------------
+    batch_size: int = 1000
+    block_size: int = 100000
+    epochs: int = 100
+    init_lr: float = 1e-4
+    max_rel_lr: float = 1.0
+    min_rel_lr: float = 1e-4
+    weights_initialization: str = "uniform"
+    model: str = "GGNN"
+    sample_every: int = 10
+    generation_epoch: int = 30
+    n_samples: int = 2000
+    n_workers: int = 2
+    seed: int = 0
+    compute_dtype: str = "float32"       # "float32" | "bfloat16" for activations
+
+    # ---- RL fine-tuning ------------------------------------------------
+    score_components: Tuple[str, ...] = ("QED", "drd2_activity", "target_size=13")
+    score_thresholds: Tuple[float, ...] = (0.5, 0.5, 0.0)
+    score_type: str = "binary"
+    qsar_models: Dict[str, str] = field(
+        default_factory=lambda: {"drd2_activity": "data/fine-tuning/qsar_model.pickle"})
+    pretrained_model_dir: str = "output/"
+    sigma: float = 20.0
+    alpha: float = 0.5
+
+    # ---- tensorboard / misc -------------------------------------------
+    tensorboard_dir: str = "tensorboard/"
+
+    # ---- parallelism ---------------------------------------------------
+    dp_devices: int = 0                  # 0 => all visible devices on the data axis
+    mp_devices: int = 1                  # model-parallel axis size (APD head sharding)
+
+    # ---- model hyperparameters (filled from MODEL_PRESETS) -------------
+    hidden_node_features: int = 100
+    message_passes: int = 3
+    message_size: int = 100
+    mlp1_depth: int = 4
+    mlp1_dropout_p: float = 0.0
+    mlp1_hidden_dim: int = 500
+    mlp2_depth: int = 4
+    mlp2_dropout_p: float = 0.0
+    mlp2_hidden_dim: int = 500
+    enn_depth: int = 4
+    enn_dropout_p: float = 0.0
+    enn_hidden_dim: int = 250
+    att_depth: int = 4
+    att_dropout_p: float = 0.0
+    att_hidden_dim: int = 250
+    msg_depth: int = 4
+    msg_dropout_p: float = 0.0
+    msg_hidden_dim: int = 250
+    gather_att_depth: int = 4
+    gather_att_dropout_p: float = 0.0
+    gather_att_hidden_dim: int = 250
+    gather_emb_depth: int = 4
+    gather_emb_dropout_p: float = 0.0
+    gather_emb_hidden_dim: int = 250
+    gather_width: int = 100
+    s2v_lstm_computations: int = 3
+    s2v_memory_size: int = 100
+    edge_emb_depth: int = 4
+    edge_emb_dropout_p: float = 0.0
+    edge_emb_hidden_dim: int = 250
+    edge_emb_size: int = 100
+
+    big_negative: float = -1e6
+    big_positive: float = 1e6
+
+    # ------------------------------------------------------------------
+    # Derived dimensions (reference: parameters/constants.py:23-95,166-210)
+    # ------------------------------------------------------------------
+    @property
+    def n_edge_features(self) -> int:
+        return 4 if self.use_aromatic_bonds else 3
+
+    @property
+    def bond_types(self) -> Tuple[str, ...]:
+        return BOND_TYPES_AROMATIC if self.use_aromatic_bonds else BOND_TYPES
+
+    @property
+    def n_atom_types(self) -> int:
+        return len(self.atom_types)
+
+    @property
+    def n_formal_charge(self) -> int:
+        return len(self.formal_charge)
+
+    @property
+    def n_imp_H(self) -> int:
+        use = not self.use_explicit_H and not self.ignore_H
+        return len(self.imp_H) if use else 0
+
+    @property
+    def n_chirality(self) -> int:
+        return len(self.chirality) if self.use_chirality else 0
+
+    @property
+    def n_node_features(self) -> int:
+        return (self.n_atom_types + self.n_formal_charge
+                + self.n_imp_H + self.n_chirality)
+
+    @property
+    def dim_nodes(self) -> Tuple[int, int]:
+        return (self.max_n_nodes, self.n_node_features)
+
+    @property
+    def dim_edges(self) -> Tuple[int, int, int]:
+        return (self.max_n_nodes, self.max_n_nodes, self.n_edge_features)
+
+    @property
+    def dim_f_add(self) -> Tuple[int, ...]:
+        """Shape of the f_add APD block (constants.py:56-89)."""
+        dims: List[int] = [self.max_n_nodes, self.n_atom_types, self.n_formal_charge]
+        if self.n_imp_H:
+            dims.append(self.n_imp_H)
+        if self.use_chirality:
+            dims.append(self.n_chirality)
+        dims.append(self.n_edge_features)
+        return tuple(dims)
+
+    @property
+    def dim_f_conn(self) -> Tuple[int, int]:
+        return (self.max_n_nodes, self.n_edge_features)
+
+    @property
+    def len_f_add(self) -> int:
+        n = 1
+        for d in self.dim_f_add:
+            n *= d
+        return n
+
+    @property
+    def len_f_add_per_node(self) -> int:
+        return self.len_f_add // self.max_n_nodes
+
+    @property
+    def len_f_conn(self) -> int:
+        return self.max_n_nodes * self.n_edge_features
+
+    @property
+    def len_f_conn_per_node(self) -> int:
+        return self.n_edge_features
+
+    @property
+    def dim_apd(self) -> int:
+        return self.len_f_add + self.len_f_conn + 1
+
+    # ------------------------------------------------------------------
+    # Feature-vector segment offsets (reference: util.py:26-47)
+    # ------------------------------------------------------------------
+    @property
+    def feature_offsets(self) -> Tuple[int, ...]:
+        """Cumulative end-indices of each one-hot segment in a node feature row."""
+        sizes = [self.n_atom_types, self.n_formal_charge]
+        if self.n_imp_H:
+            sizes.append(self.n_imp_H)
+        if self.use_chirality:
+            sizes.append(self.n_chirality)
+        out, acc = [], 0
+        for s in sizes:
+            acc += s
+            out.append(acc)
+        return tuple(out)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> "GraphInventConfig":
+        if self.use_explicit_H and self.ignore_H:
+            raise ValueError("Cannot use explicit Hs and ignore Hs at the same "
+                             "time (reference: constants.py:154-156).")
+        if self.model not in MODEL_NAMES:
+            raise ValueError(f"model must be one of {MODEL_NAMES}, got {self.model!r}")
+        if self.job_type not in ("preprocess", "train", "generate", "test", "fine-tune"):
+            raise ValueError(f"invalid job_type {self.job_type!r}")
+        if self.decoding_route not in ("bfs", "dfs"):
+            raise ValueError(f"invalid decoding_route {self.decoding_route!r}")
+        if len(self.score_components) != len(self.score_thresholds):
+            raise ValueError("score_components and score_thresholds do not match")
+        return self
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw: Any) -> "GraphInventConfig":
+        return dataclasses.replace(self, **kw).validate()
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=list)
+
+    # ------------------------------------------------------------------
+    # input.csv compatibility layer
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _parse_value(value: str) -> Any:
+        value = value.strip()
+        try:
+            return ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            return value  # plain string
+
+    @classmethod
+    def from_overrides(cls, overrides: Dict[str, Any],
+                       base: Optional["GraphInventConfig"] = None) -> "GraphInventConfig":
+        """Builds a config from a dict of overrides, applying the model preset
+        first (mirroring defaults.py:135-141 + 441) and then explicit values."""
+        model = str(overrides.get("model", (base.model if base else "GGNN")))
+        merged: Dict[str, Any] = {}
+        if base is not None:
+            merged.update(base.to_dict())
+        merged.update(MODEL_PRESETS.get(model, {}))
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        for key, value in overrides.items():
+            if key in field_names:
+                merged[key] = value
+        merged["model"] = model
+        merged = {k: v for k, v in merged.items() if k in field_names}
+        # normalise list -> tuple for hashability of the frozen dataclass
+        for key in ("atom_types", "formal_charge", "imp_H", "chirality",
+                    "score_components", "score_thresholds"):
+            if key in merged and isinstance(merged[key], list):
+                merged[key] = tuple(merged[key])
+        return cls(**merged).validate()
+
+    @classmethod
+    def from_csv(cls, csv_path: str,
+                 base: Optional["GraphInventConfig"] = None) -> "GraphInventConfig":
+        """Reads a reference-format ``input.csv`` (``key;value`` lines)."""
+        overrides: Dict[str, Any] = {}
+        with open(csv_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or ";" not in line:
+                    continue
+                key, _, value = line.partition(";")
+                overrides[key.strip()] = cls._parse_value(value)
+        return cls.from_overrides(overrides, base=base)
+
+    @classmethod
+    def from_job_dir(cls, job_dir: str,
+                     base: Optional["GraphInventConfig"] = None) -> "GraphInventConfig":
+        """Loads ``<job_dir>/input.csv`` if present, then pins job_dir."""
+        job_dir = job_dir if job_dir.endswith("/") else job_dir + "/"
+        csv_path = os.path.join(job_dir, "input.csv")
+        if os.path.exists(csv_path):
+            cfg = cls.from_csv(csv_path, base=base)
+        else:
+            cfg = (base or cls()).validate()
+        return cfg.replace(job_dir=job_dir)
+
+    def write_csv(self, csv_path: str) -> None:
+        """Writes this config in the reference's input.csv format."""
+        with open(csv_path, "w") as fh:
+            for key, value in sorted(self.to_dict().items()):
+                if isinstance(value, tuple):
+                    value = list(value)
+                fh.write(f"{key};{value!r}\n" if isinstance(value, str)
+                         else f"{key};{value}\n")
+
+    def check_preprocessing_params(self) -> None:
+        """Cross-checks this config against ``preprocessing_params.csv`` in the
+        dataset dir (reference: constants.py:223-247)."""
+        csv_file = os.path.join(self.dataset_dir, "preprocessing_params.csv")
+        if not os.path.exists(csv_file):
+            return
+        me = self.to_dict()
+        with open(csv_file) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or ";" not in line:
+                    continue
+                key, _, value = line.partition(";")
+                key = key.strip()
+                if key not in me:
+                    continue
+                want = self._parse_value(value)
+                have = me[key]
+                if isinstance(have, tuple):
+                    have = list(have)
+                if isinstance(want, tuple):
+                    want = list(want)
+                if want != have:
+                    raise ValueError(
+                        f"Training job parameter {key!r}={have!r} does not match "
+                        f"preprocessing value {want!r} "
+                        f"(reference check: constants.py:239-244).")
+
+
+def preset(model: str = "GGNN", **overrides: Any) -> GraphInventConfig:
+    """Convenience constructor: model preset + overrides."""
+    overrides = dict(overrides)
+    overrides["model"] = model
+    return GraphInventConfig.from_overrides(overrides)
+
+
+# A tiny config for tests: gdb13-like chemistry, small nets.
+def test_config(model: str = "GGNN", **overrides: Any) -> GraphInventConfig:
+    small = dict(
+        mlp1_depth=2, mlp1_hidden_dim=24, mlp2_depth=2, mlp2_hidden_dim=24,
+        enn_depth=2, enn_hidden_dim=12, att_depth=2, att_hidden_dim=12,
+        msg_depth=2, msg_hidden_dim=12,
+        gather_att_depth=2, gather_att_hidden_dim=12,
+        gather_emb_depth=2, gather_emb_hidden_dim=12, gather_width=10,
+        hidden_node_features=16, message_size=16, message_passes=2,
+        s2v_lstm_computations=2, s2v_memory_size=16,
+        edge_emb_depth=2, edge_emb_hidden_dim=12, edge_emb_size=16,
+        batch_size=8, block_size=64, epochs=2, n_samples=8, sample_every=1,
+    )
+    small.update(overrides)
+    return preset(model, **small)
