@@ -1,0 +1,485 @@
+"""The six MPNN variants, re-designed for TPU as dense batched contractions.
+
+Reference models: graphinvent/gnn/mpnn.py (MNN:16, S2V:77, AttS2V:142,
+GGNN:229, AttGGNN:306, EMN:401) running on the engines in
+gnn/{summation,aggregation,edge}_mpnn.py.
+
+Design (TPU-first, not a translation):
+
+* The reference extracts dynamic edge lists with ``nonzero()`` and runs
+  per-edge MLPs + a dense 0/1 summation matmul (summation_mpnn.py:106-141).
+  Here every model is expressed over the static padded tensors directly:
+  per-edge-type MLPs are applied to all node states ``Y_e = f_e(H)`` and
+  messages are adjacency contractions ``m = sum_e A_e @ Y_e`` -- pure batched
+  matmuls with static shapes, which XLA maps straight onto the MXU.  For
+  one-hot edge features this is mathematically identical to the reference's
+  gather/scatter formulation (bias terms are masked by the adjacency exactly
+  as the reference masks them, gnn/mpnn.py:290-294).
+
+* Nodes with degree 0 are never GRU-updated (the reference only updates
+  nodes appearing in its edge list, summation_mpnn.py:109,143-144); we mask
+  the update instead.
+
+* The EMN's edge-memory attention over incoming edges is computed with a
+  factored softmax (running numerator/denominator with the reverse-edge term
+  subtracted) so no (B,N,N,N,D) tensor is ever materialised.
+
+All ``apply`` functions take ``(cfg, params, nodes, edges)`` with
+nodes (B,N,Fn) float, edges (B,N,N,E) float and return APD logits
+(B, dim_apd).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.models.core import (
+    Params, gru_cell, init_gru_cell, init_mlp, mlp,
+)
+from graphinvent_tpu.models.readout import (
+    graph_gather, global_readout, init_graph_gather, init_global_readout,
+    init_set2vec, set2vec,
+)
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _prepare(cfg: GraphInventConfig, nodes: jnp.ndarray, edges: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (hidden0 (B,N,H), adjacency (B,N,N), degree (B,N), node_mask (B,N))."""
+    dt = nodes.dtype
+    adjacency = jnp.sum(edges, axis=3)
+    degree = jnp.sum(adjacency, axis=-1)
+    node_mask = degree != 0
+    B, N, Fn = nodes.shape
+    hidden = jnp.zeros((B, N, cfg.hidden_node_features), dt)
+    hidden = hidden.at[:, :, :Fn].set(nodes)
+    return hidden, adjacency, degree, node_mask
+
+
+def _masked_update(gru_params: Params, messages: jnp.ndarray,
+                   hidden: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """GRU update applied only to nodes with degree >= 1."""
+    updated = gru_cell(gru_params, messages, hidden)
+    return jnp.where(node_mask[..., None], updated, hidden)
+
+
+def _edge_type_contraction(edges: jnp.ndarray, per_type: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """m_i = sum_e sum_j edges[b,i,j,e] * per_type[e,b,j,m] as one einsum."""
+    return jnp.einsum("bije,ebjm->bim", edges, per_type,
+                      preferred_element_type=jnp.float32).astype(per_type.dtype)
+
+
+def _readout_keys(rng: Optional[jax.Array], n: int):
+    return jax.random.split(rng, n) if rng is not None else [None] * n
+
+
+# --------------------------------------------------------------------------
+# MNN (reference gnn/mpnn.py:16-74)
+# --------------------------------------------------------------------------
+
+def init_mnn(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    stdev = 1.0 / math.sqrt(cfg.hidden_node_features)
+    message_weights = jax.random.uniform(
+        k1, (cfg.message_size, cfg.hidden_node_features, cfg.n_edge_features),
+        jnp.float32, -stdev, stdev)
+    return {
+        "message_weights": message_weights,
+        "gru": init_gru_cell(k2, cfg.message_size, cfg.hidden_node_features),
+        "apd": init_global_readout(
+            k3, cfg.len_f_add_per_node, cfg.len_f_conn_per_node, 1,
+            cfg.mlp1_depth, cfg.mlp1_hidden_dim,
+            cfg.mlp2_depth, cfg.mlp2_hidden_dim,
+            graph_emb_size=cfg.hidden_node_features,
+            max_n_nodes=cfg.max_n_nodes,
+            node_emb_size=cfg.hidden_node_features),
+    }
+
+
+def apply_mnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+              edges: jnp.ndarray, train: bool = False,
+              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
+    W = params["message_weights"].astype(hidden.dtype)   # (M, H, E)
+    for _ in range(cfg.message_passes):
+        # per edge type e: Y_e = H @ W[:,:,e]^T  -> (E, B, N, M)
+        per_type = jnp.einsum("bnh,mhe->ebnm", hidden, W,
+                              preferred_element_type=jnp.float32
+                              ).astype(hidden.dtype)
+        messages = _edge_type_contraction(edges, per_type)
+        hidden = _masked_update(params["gru"], messages, hidden, node_mask)
+    graph_emb = jnp.sum(hidden, axis=1)   # (reference mpnn.py:70-74)
+    return global_readout(params["apd"], hidden, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, rng)
+
+
+# --------------------------------------------------------------------------
+# S2V (reference gnn/mpnn.py:77-139)
+# --------------------------------------------------------------------------
+
+def init_s2v(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "enn": init_mlp(k1, cfg.n_edge_features,
+                        [cfg.enn_hidden_dim] * cfg.enn_depth,
+                        cfg.hidden_node_features * cfg.message_size),
+        "gru": init_gru_cell(k2, cfg.message_size, cfg.hidden_node_features),
+        "s2v": init_set2vec(k3, cfg.n_node_features, cfg.hidden_node_features,
+                            cfg.s2v_memory_size),
+        "apd": init_global_readout(
+            k4, cfg.len_f_add_per_node, cfg.len_f_conn_per_node, 1,
+            cfg.mlp1_depth, cfg.mlp1_hidden_dim,
+            cfg.mlp2_depth, cfg.mlp2_hidden_dim,
+            graph_emb_size=cfg.s2v_memory_size * 2,
+            max_n_nodes=cfg.max_n_nodes,
+            node_emb_size=cfg.hidden_node_features),
+    }
+
+
+def _enn_matrices(cfg: GraphInventConfig, enn_params: Params,
+                  dtype, train: bool, rng) -> jnp.ndarray:
+    """Evaluates the edge-network MLP on the E one-hot edge feature vectors
+    once per forward: (E, message_size, hidden).  Because edge features are
+    one-hot, this is exactly the reference's per-edge ``enn(edges)``
+    (gnn/mpnn.py:124-127) without the per-edge replication."""
+    eye = jnp.eye(cfg.n_edge_features, dtype=dtype)
+    out = mlp(enn_params, eye, cfg.enn_dropout_p, train, rng)
+    return out.reshape(cfg.n_edge_features, cfg.message_size,
+                       cfg.hidden_node_features)
+
+
+def apply_s2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+              edges: jnp.ndarray, train: bool = False,
+              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    keys = _readout_keys(rng, 3)
+    hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
+    M = _enn_matrices(cfg, params["enn"], hidden.dtype, train, keys[0])
+    for _ in range(cfg.message_passes):
+        per_type = jnp.einsum("bnh,emh->ebnm", hidden, M,
+                              preferred_element_type=jnp.float32
+                              ).astype(hidden.dtype)
+        messages = _edge_type_contraction(edges, per_type)
+        hidden = _masked_update(params["gru"], messages, hidden, node_mask)
+    graph_emb = set2vec(params["s2v"], hidden, nodes, node_mask,
+                        cfg.s2v_lstm_computations, cfg.s2v_memory_size,
+                        cfg.big_negative)
+    return global_readout(params["apd"], hidden, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[2])
+
+
+# --------------------------------------------------------------------------
+# AttS2V (reference gnn/mpnn.py:142-226)
+# --------------------------------------------------------------------------
+
+def init_atts2v(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "enn": init_mlp(k1, cfg.n_edge_features,
+                        [cfg.enn_hidden_dim] * cfg.enn_depth,
+                        cfg.hidden_node_features * cfg.message_size),
+        "att_enn": init_mlp(k2,
+                            cfg.hidden_node_features + cfg.n_edge_features,
+                            [cfg.att_hidden_dim] * cfg.att_depth,
+                            cfg.message_size),
+        "gru": init_gru_cell(k3, cfg.message_size, cfg.hidden_node_features),
+        "s2v": init_set2vec(k4, cfg.n_node_features, cfg.hidden_node_features,
+                            cfg.s2v_memory_size),
+        "apd": init_global_readout(
+            k5, cfg.len_f_add_per_node, cfg.len_f_conn_per_node, 1,
+            cfg.mlp1_depth, cfg.mlp1_hidden_dim,
+            cfg.mlp2_depth, cfg.mlp2_hidden_dim,
+            graph_emb_size=cfg.s2v_memory_size * 2,
+            max_n_nodes=cfg.max_n_nodes,
+            node_emb_size=cfg.hidden_node_features),
+    }
+
+
+def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+                 edges: jnp.ndarray, train: bool = False,
+                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    keys = _readout_keys(rng, 4)
+    hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
+    dt = hidden.dtype
+    M = _enn_matrices(cfg, params["enn"], dt, train, keys[0])
+    E = cfg.n_edge_features
+    adj_mask = adjacency != 0            # (B,N,N)
+    for _ in range(cfg.message_passes):
+        # message terms per edge type (gnn/mpnn.py:202-207)
+        per_type = jnp.einsum("bnh,emh->ebnm", hidden, M,
+                              preferred_element_type=jnp.float32).astype(dt)
+        msg_terms = jnp.einsum("bije,ebjm->bijm", edges, per_type,
+                               preferred_element_type=jnp.float32).astype(dt)
+        # attention energies: att_enn([onehot_e, h_j]) per type, then pick
+        # the edge's type via the adjacency (gnn/mpnn.py:209-212)
+        att_per_type = []
+        for e in range(E):
+            onehot = jnp.zeros((E,), dt).at[e].set(1.0)
+            cat = jnp.concatenate(
+                [jnp.broadcast_to(onehot, hidden.shape[:2] + (E,)), hidden],
+                axis=-1)
+            att_per_type.append(mlp(params["att_enn"], cat,
+                                    cfg.att_dropout_p, train, keys[1]))
+        att_stack = jnp.stack(att_per_type)            # (E, B, N, M)
+        energies = jnp.einsum("bije,ebjm->bijm", edges, att_stack,
+                              preferred_element_type=jnp.float32).astype(dt)
+        energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_negative
+        weights = jax.nn.softmax(energies + energy_mask[..., None], axis=2)
+        messages = jnp.sum(weights * msg_terms, axis=2)
+        hidden = _masked_update(params["gru"], messages, hidden, node_mask)
+    graph_emb = set2vec(params["s2v"], hidden, nodes, node_mask,
+                        cfg.s2v_lstm_computations, cfg.s2v_memory_size,
+                        cfg.big_negative)
+    return global_readout(params["apd"], hidden, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[3])
+
+
+# --------------------------------------------------------------------------
+# GGNN (reference gnn/mpnn.py:229-303)
+# --------------------------------------------------------------------------
+
+def init_ggnn(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    keys = jax.random.split(key, cfg.n_edge_features + 3)
+    msg_nns = [init_mlp(keys[e], cfg.hidden_node_features,
+                        [cfg.enn_hidden_dim] * cfg.enn_depth, cfg.message_size)
+               for e in range(cfg.n_edge_features)]
+    return {
+        "msg_nns": msg_nns,
+        "gru": init_gru_cell(keys[-3], cfg.message_size,
+                             cfg.hidden_node_features),
+        "gather": init_graph_gather(
+            keys[-2], cfg.n_node_features, cfg.hidden_node_features,
+            cfg.gather_width, cfg.gather_att_depth, cfg.gather_att_hidden_dim,
+            cfg.gather_emb_depth, cfg.gather_emb_hidden_dim),
+        "apd": init_global_readout(
+            keys[-1], cfg.len_f_add_per_node, cfg.len_f_conn_per_node, 1,
+            cfg.mlp1_depth, cfg.mlp1_hidden_dim,
+            cfg.mlp2_depth, cfg.mlp2_hidden_dim,
+            graph_emb_size=cfg.gather_width,
+            max_n_nodes=cfg.max_n_nodes,
+            node_emb_size=cfg.hidden_node_features),
+    }
+
+
+def apply_ggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+               edges: jnp.ndarray, train: bool = False,
+               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    keys = _readout_keys(rng, 3)
+    hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
+    for _ in range(cfg.message_passes):
+        per_type = jnp.stack([
+            mlp(params["msg_nns"][e], hidden, cfg.enn_dropout_p, train, keys[0])
+            for e in range(cfg.n_edge_features)])          # (E, B, N, M)
+        messages = _edge_type_contraction(edges, per_type)
+        hidden = _masked_update(params["gru"], messages, hidden, node_mask)
+    graph_emb = graph_gather(params["gather"], hidden, nodes, node_mask,
+                             cfg.big_positive, cfg.gather_att_dropout_p,
+                             cfg.gather_emb_dropout_p, train, keys[1])
+    return global_readout(params["apd"], hidden, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[2])
+
+
+# --------------------------------------------------------------------------
+# AttGGNN (reference gnn/mpnn.py:306-398)
+# --------------------------------------------------------------------------
+
+def init_attggnn(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    E = cfg.n_edge_features
+    keys = jax.random.split(key, 2 * E + 3)
+    msg_nns = [init_mlp(keys[e], cfg.hidden_node_features,
+                        [cfg.msg_hidden_dim] * cfg.msg_depth, cfg.message_size)
+               for e in range(E)]
+    att_nns = [init_mlp(keys[E + e], cfg.hidden_node_features,
+                        [cfg.att_hidden_dim] * cfg.att_depth, cfg.message_size)
+               for e in range(E)]
+    return {
+        "msg_nns": msg_nns,
+        "att_nns": att_nns,
+        "gru": init_gru_cell(keys[-3], cfg.message_size,
+                             cfg.hidden_node_features),
+        "gather": init_graph_gather(
+            keys[-2], cfg.n_node_features, cfg.hidden_node_features,
+            cfg.gather_width, cfg.gather_att_depth, cfg.gather_att_hidden_dim,
+            cfg.gather_emb_depth, cfg.gather_emb_hidden_dim),
+        "apd": init_global_readout(
+            keys[-1], cfg.len_f_add_per_node, cfg.len_f_conn_per_node, 1,
+            cfg.mlp1_depth, cfg.mlp1_hidden_dim,
+            cfg.mlp2_depth, cfg.mlp2_hidden_dim,
+            graph_emb_size=cfg.gather_width,
+            max_n_nodes=cfg.max_n_nodes,
+            node_emb_size=cfg.hidden_node_features),
+    }
+
+
+def apply_attggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+                  edges: jnp.ndarray, train: bool = False,
+                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    keys = _readout_keys(rng, 4)
+    hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
+    dt = hidden.dtype
+    adj_mask = adjacency != 0
+    for _ in range(cfg.message_passes):
+        emb_per_type = jnp.stack([
+            mlp(params["msg_nns"][e], hidden, cfg.msg_dropout_p, train, keys[0])
+            for e in range(cfg.n_edge_features)])          # (E, B, N, M)
+        att_per_type = jnp.stack([
+            mlp(params["att_nns"][e], hidden, cfg.att_dropout_p, train, keys[1])
+            for e in range(cfg.n_edge_features)])
+        embedding = jnp.einsum("bije,ebjm->bijm", edges, emb_per_type,
+                               preferred_element_type=jnp.float32).astype(dt)
+        energies = jnp.einsum("bije,ebjm->bijm", edges, att_per_type,
+                              preferred_element_type=jnp.float32).astype(dt)
+        energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_positive
+        attention = jax.nn.softmax(energies - energy_mask[..., None], axis=2)
+        messages = jnp.sum(attention * embedding, axis=2)
+        hidden = _masked_update(params["gru"], messages, hidden, node_mask)
+    graph_emb = graph_gather(params["gather"], hidden, nodes, node_mask,
+                             cfg.big_positive, cfg.gather_att_dropout_p,
+                             cfg.gather_emb_dropout_p, train, keys[2])
+    return global_readout(params["apd"], hidden, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[3])
+
+
+# --------------------------------------------------------------------------
+# EMN (reference gnn/mpnn.py:401-494 + gnn/edge_mpnn.py:82-192)
+# --------------------------------------------------------------------------
+
+def init_emn(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    D = cfg.edge_emb_size
+    return {
+        "embedding_nn": init_mlp(
+            k1, cfg.n_node_features * 2 + cfg.n_edge_features,
+            [cfg.edge_emb_hidden_dim] * cfg.edge_emb_depth, D),
+        "emb_msg_nn": init_mlp(k2, D, [cfg.msg_hidden_dim] * cfg.msg_depth, D),
+        "att_msg_nn": init_mlp(k3, D, [cfg.att_hidden_dim] * cfg.att_depth, D),
+        "gru": init_gru_cell(k4, D, D),
+        "gather": init_graph_gather(k5, D, D, cfg.gather_width,
+                                    cfg.gather_att_depth,
+                                    cfg.gather_att_hidden_dim,
+                                    cfg.gather_emb_depth,
+                                    cfg.gather_emb_hidden_dim),
+        "apd": init_global_readout(
+            k6, cfg.len_f_add_per_node, cfg.len_f_conn_per_node, 1,
+            cfg.mlp1_depth, cfg.mlp1_hidden_dim,
+            cfg.mlp2_depth, cfg.mlp2_hidden_dim,
+            graph_emb_size=cfg.gather_width,
+            max_n_nodes=cfg.max_n_nodes,
+            node_emb_size=D),
+    }
+
+
+def apply_emn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+              edges: jnp.ndarray, train: bool = False,
+              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """EMN forward with a factored incoming-edge attention.
+
+    For directed edge (i,j), the incoming set is {M[k,i] : adj(k,i), k != j}
+    plus a self slot holding the edge's static embedding E_ij
+    (edge_mpnn.py:109-174).  The per-channel softmax over that set is
+    computed from running sums S (denominator) and T (numerator) over all k
+    adjacent to i, subtracting the k=j (reverse edge) contribution -- exact,
+    with no N^3 intermediate."""
+    keys = _readout_keys(rng, 5)
+    B, N, Fn = nodes.shape
+    dt = nodes.dtype
+    D = cfg.edge_emb_size
+    adjacency = jnp.sum(edges, axis=3)                # (B,N,N)
+    adj = adjacency != 0
+    adj_f = adj.astype(dt)
+    node_mask = jnp.sum(adjacency, axis=-1) != 0
+
+    # static per-edge embeddings E_ij = tanh(embedding_nn([x_i, x_j, e_ij]))
+    # (gnn/mpnn.py:466-469); masked to existing edges
+    x_i = jnp.broadcast_to(nodes[:, :, None, :], (B, N, N, Fn))
+    x_j = jnp.broadcast_to(nodes[:, None, :, :], (B, N, N, Fn))
+    cat = jnp.concatenate([x_i, x_j, edges], axis=-1)
+    E_emb = jnp.tanh(mlp(params["embedding_nn"], cat,
+                         cfg.edge_emb_dropout_p, train, keys[0]))
+    E_emb = E_emb * adj_f[..., None]
+
+    att_self = mlp(params["att_msg_nn"], E_emb, cfg.att_dropout_p,
+                   train, keys[1])                    # (B,N,N,D)
+    emb_self = mlp(params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
+                   train, keys[2])
+
+    memories = jnp.zeros((B, N, N, D), dt)
+    neg_inf = jnp.asarray(cfg.big_negative, dt)
+
+    for _ in range(cfg.message_passes):
+        att_mem = mlp(params["att_msg_nn"], memories, cfg.att_dropout_p,
+                      train, keys[1])                  # (B,N,N,D): att(M[k,i]) at [k,i]
+        emb_mem = mlp(params["emb_msg_nn"], memories, cfg.msg_dropout_p,
+                      train, keys[2])
+        # transpose to index by (i, k): attT[b,i,k,d] = att(M[k,i])
+        attT = jnp.swapaxes(att_mem, 1, 2)
+        embT = jnp.swapaxes(emb_mem, 1, 2)
+        adjT = jnp.swapaxes(adj_f, 1, 2)               # adjT[b,i,k] = adj(k,i)
+
+        # j-independent stabiliser m[b,i,d] >= every relevant energy
+        masked_attT = jnp.where(adjT[..., None] > 0, attT, neg_inf)
+        m_incoming = jnp.max(masked_attT, axis=2)      # (B,N,D)
+        masked_self = jnp.where(adj[..., None], att_self, neg_inf)
+        m_self = jnp.max(masked_self, axis=2)          # (B,N,D)
+        m = jnp.maximum(m_incoming, m_self)
+        # nodes with no edges at all would give m = -inf-ish; neutralise so
+        # the (fully masked, later discarded) rows stay finite
+        m = jnp.where(m > 0.5 * neg_inf, m, 0.0)
+
+        exp_in = adjT[..., None] * jnp.exp(masked_attT - m[:, :, None, :])
+        S = jnp.sum(exp_in, axis=2)                    # (B,N,D)
+        T = jnp.sum(exp_in * embT, axis=2)             # (B,N,D)
+
+        exp_self = jnp.exp(att_self - m[:, :, None, :]) * adj_f[..., None]
+        # reverse-edge term to subtract: k = j slot
+        exp_rev = exp_in                               # (B,N,N,D) indexed [i,k]
+        Z = exp_self + S[:, :, None, :] - exp_rev
+        numer = exp_self * emb_self + T[:, :, None, :] - exp_rev * embT
+        message = jnp.where(adj[..., None], numer / jnp.maximum(Z, 1e-30), 0.0)
+
+        new_mem = gru_cell(params["gru"], message.reshape(-1, D),
+                           jnp.zeros((B * N * N, D), dt)).reshape(B, N, N, D)
+        memories = new_mem * adj_f[..., None]
+
+    # node representations: sum of outgoing-edge memories
+    # (edge_mpnn.py:176-189: node i collects memories of edges (i, j))
+    graph_sets = jnp.sum(memories, axis=2)             # (B,N,D)
+
+    graph_emb = graph_gather(params["gather"], graph_sets, graph_sets,
+                             node_mask, cfg.big_positive,
+                             cfg.gather_att_dropout_p,
+                             cfg.gather_emb_dropout_p, train, keys[3])
+    return global_readout(params["apd"], graph_sets, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[4])
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+MODEL_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
+    "MNN": (init_mnn, apply_mnn),
+    "S2V": (init_s2v, apply_s2v),
+    "AttS2V": (init_atts2v, apply_atts2v),
+    "GGNN": (init_ggnn, apply_ggnn),
+    "AttGGNN": (init_attggnn, apply_attggnn),
+    "EMN": (init_emn, apply_emn),
+}
+
+
+def init_model(cfg: GraphInventConfig, key: jax.Array) -> Params:
+    return MODEL_REGISTRY[cfg.model][0](cfg, key)
+
+
+def apply_model(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+                edges: jnp.ndarray, train: bool = False,
+                rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    return MODEL_REGISTRY[cfg.model][1](cfg, params, nodes, edges, train, rng)

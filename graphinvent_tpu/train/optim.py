@@ -1,0 +1,118 @@
+"""Adam + OneCycle learning-rate/momentum schedule.
+
+The reference trains with torch Adam + OneCycleLR
+(Workflow.py:191-261).  Torch's OneCycleLR also cycles Adam's beta1 between
+max_momentum=0.95 and base_momentum=0.85 (cycle_momentum default), which we
+reproduce; the schedule is cosine with
+
+  phase 1 (pct_start):  initial_lr = max_lr/div_factor  ->  max_lr
+  phase 2:              max_lr  ->  initial_lr/final_div_factor
+
+Training jobs use the torch defaults (pct_start=0.3, div=25, final_div=1e4);
+fine-tune jobs use pct_start=0.05, div=1/max_rel_lr, final_div=1/min_rel_lr
+(Workflow.py:198-206).
+
+Adam is written out manually (rather than optax.adam) so the time-varying
+beta1 matches torch's semantics: the *current* beta1 is used in both the
+first-moment update and its bias correction.  Unlike the reference -- which
+silently rebuilds fresh optimizer state on restart (Workflow.py:208-237) --
+this state is a pytree and is checkpointed with the model.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graphinvent_tpu.config import GraphInventConfig
+
+Params = Any
+
+
+@dataclass(frozen=True)
+class OneCycle:
+    max_lr: float
+    total_steps: int
+    pct_start: float = 0.3
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    base_momentum: float = 0.85
+    max_momentum: float = 0.95
+    cycle_momentum: bool = True
+
+    def __call__(self, step: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """step (0-based, float or int) -> (lr, beta1)."""
+        step = jnp.asarray(step, jnp.float32)
+        up_steps = max(float(self.pct_start) * self.total_steps - 1.0, 1.0)
+        down_steps = max(self.total_steps - up_steps - 1.0, 1.0)
+        initial_lr = self.max_lr / self.div_factor
+        min_lr = initial_lr / self.final_div_factor
+
+        def _anneal(start, end, pct):
+            return end + (start - end) / 2.0 * (jnp.cos(math.pi * pct) + 1.0)
+
+        pct_up = jnp.clip(step / up_steps, 0.0, 1.0)
+        pct_down = jnp.clip((step - up_steps) / down_steps, 0.0, 1.0)
+        lr = jnp.where(step <= up_steps,
+                       _anneal(initial_lr, self.max_lr, pct_up),
+                       _anneal(self.max_lr, min_lr, pct_down))
+        if self.cycle_momentum:
+            b1 = jnp.where(step <= up_steps,
+                           _anneal(self.max_momentum, self.base_momentum, pct_up),
+                           _anneal(self.base_momentum, self.max_momentum, pct_down))
+        else:
+            b1 = jnp.asarray(0.9, jnp.float32)
+        return lr, b1
+
+
+def onecycle_for_config(cfg: GraphInventConfig, steps_per_epoch: int) -> OneCycle:
+    """Mirrors Workflow.define_model_and_optimizer's two scheduler shapes."""
+    max_lr = cfg.max_rel_lr * cfg.init_lr
+    if cfg.job_type == "fine-tune":
+        return OneCycle(max_lr=max_lr, total_steps=cfg.epochs,
+                        pct_start=0.05, div_factor=1.0 / cfg.max_rel_lr,
+                        final_div_factor=1.0 / cfg.min_rel_lr)
+    return OneCycle(max_lr=max_lr, total_steps=steps_per_epoch * cfg.epochs)
+
+
+class AdamState(NamedTuple):
+    step: jnp.ndarray      # scalar int32
+    mu: Params
+    nu: Params
+
+
+def adam_init(params: Params) -> AdamState:
+    zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params)
+    return AdamState(step=jnp.zeros((), jnp.int32), mu=zeros,
+                     nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params))
+
+
+def adam_update(grads: Params, state: AdamState, params: Params,
+                lr: jnp.ndarray, beta1: jnp.ndarray = 0.9,
+                beta2: float = 0.999, eps: float = 1e-8
+                ) -> Tuple[Params, AdamState]:
+    """One torch-style Adam step with (possibly scheduled) lr and beta1."""
+    step = state.step + 1
+    t = step.astype(jnp.float32)
+    b1 = jnp.asarray(beta1, jnp.float32)
+    bc1 = 1.0 - jnp.power(b1, t)
+    bc2 = 1.0 - beta2 ** t
+
+    def upd_mu(m, g):
+        return b1 * m + (1.0 - b1) * g
+
+    def upd_nu(v, g):
+        return beta2 * v + (1.0 - beta2) * (g * g)
+
+    mu = jax.tree_util.tree_map(upd_mu, state.mu, grads)
+    nu = jax.tree_util.tree_map(upd_nu, state.nu, grads)
+
+    def upd_p(p, m, v):
+        return p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+    new_params = jax.tree_util.tree_map(upd_p, params, mu, nu)
+    return new_params, AdamState(step=step, mu=mu, nu=nu)

@@ -1,0 +1,81 @@
+"""Jitted train / validation steps.
+
+One compiled function serves every batch of the run (static shapes from the
+fixed-size loader).  Gradient + Adam + OneCycle are fused into a single XLA
+program; with a mesh the same step is sharded via NamedSharding on the batch
+(see graphinvent_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.models import apply_model
+from graphinvent_tpu.train.loss import apd_kl_loss, correct_action_likelihoods
+from graphinvent_tpu.train.optim import AdamState, OneCycle, adam_update
+
+Params = Any
+Batch = Dict[str, jnp.ndarray]
+
+
+def make_train_step(cfg: GraphInventConfig, schedule: OneCycle
+                    ) -> Callable[[Params, AdamState, Batch, jax.Array],
+                                  Tuple[Params, AdamState, jnp.ndarray]]:
+    """Returns jitted ``(params, opt_state, batch, rng) ->
+    (params, opt_state, loss)``."""
+
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch, rng):
+        nodes = batch["nodes"].astype(compute_dtype)
+        edges = batch["edges"].astype(compute_dtype)
+        logits = apply_model(cfg, params, nodes, edges, train=True, rng=rng)
+        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
+                           batch.get("valid"))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        lr, beta1 = schedule(opt_state.step)
+        params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(cfg: GraphInventConfig) -> Callable[[Params, Batch], jnp.ndarray]:
+    """Returns jitted validation-loss step (no dropout, no grad)."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def eval_step(params, batch):
+        nodes = batch["nodes"].astype(compute_dtype)
+        edges = batch["edges"].astype(compute_dtype)
+        logits = apply_model(cfg, params, nodes, edges, train=False)
+        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
+                           batch.get("valid"))
+
+    return eval_step
+
+
+def make_likelihood_step(cfg: GraphInventConfig
+                         ) -> Callable[[Params, Batch], jnp.ndarray]:
+    """Per-row correct-action NLL (for UC-JSD / validation stats;
+    reference Analyzer.py:708-778).  Rows with ``valid``==0 return NaN-free
+    zero likelihood -> caller filters by the mask."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def nll_step(params, batch):
+        nodes = batch["nodes"].astype(compute_dtype)
+        edges = batch["edges"].astype(compute_dtype)
+        logits = apply_model(cfg, params, nodes, edges, train=False)
+        p = correct_action_likelihoods(logits.astype(jnp.float32), batch["apds"])
+        return -jnp.log(jnp.maximum(p, 1e-30))
+
+    return nll_step
