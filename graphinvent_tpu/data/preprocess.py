@@ -1,0 +1,242 @@
+"""SMILES -> HDF5 preprocessing.
+
+Rebuilds DataProcesser (DataProcesser.py:19-457): for every molecule, replay
+its decoding route and write (nodes, edges, APD) int8 triples to the three
+HDF datasets.  Differences by design (SURVEY.md §7):
+
+* duplicate subgraphs within a group are merged by *hashing* the graph
+  bytes (O(group)) instead of the reference's O(group^2) pairwise array
+  comparison (DataProcesser.py:203-231); first-occurrence order is kept, so
+  dataset ordering semantics match;
+* the route itself is a single backward truncation sweep per molecule
+  (chem/molgraph.py) instead of re-truncating per subgraph index;
+* optional ``num_shards``/``shard_index`` produce shard files directly
+  (the built-in replacement for the reference's manual split / combine_HDFs
+  flow, tools/combine_HDFs.py); ``combine_shards`` merges them.
+
+Restart uses the same ``index.restart`` + ``.h5.chunked`` protocol as the
+reference (util.py:387-476, DataProcesser.py:66-135).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.chem.molecule import Molecule
+from graphinvent_tpu.chem.smiles import mol_from_smiles
+from graphinvent_tpu.chem.molgraph import decoding_route, ordered_graph
+from graphinvent_tpu.eval.properties import (
+    graph_set_properties, merge_ts_properties, write_ts_properties_csv,
+)
+
+
+def read_smiles_file(path: str) -> List[str]:
+    """Reads a .smi file; first line may be a header containing 'SMILES'
+    (reference: parameters/load.py:10-26)."""
+    with open(path) as fh:
+        lines = [l.strip() for l in fh if l.strip()]
+    if lines and "SMILES" in lines[0]:
+        lines = lines[1:]
+    return [l.split()[0] for l in lines]
+
+
+class Preprocessor:
+    """Writes ``<name>.h5`` with datasets ``nodes``/``edges``/``APDs``
+    (int8), plus ``<name>.csv`` training-set properties when
+    ``is_training_set``."""
+
+    def __init__(self, cfg: GraphInventConfig, smi_path: str,
+                 is_training_set: bool = False,
+                 shard_index: int = 0, num_shards: int = 1) -> None:
+        self.cfg = cfg
+        self.smi_path = smi_path
+        self.is_training_set = is_training_set
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.h5_path = smi_path[:-3] + "h5"
+        if num_shards > 1:
+            self.h5_path += f".shard{shard_index}"
+        self.restart_path = os.path.join(
+            os.path.dirname(smi_path) or ".", f"index.restart{shard_index}"
+            if num_shards > 1 else "index.restart")
+
+        smiles = read_smiles_file(smi_path)
+        self.smiles = smiles[shard_index::num_shards]
+        self.rng = random.Random(cfg.seed + shard_index)
+
+    # ------------------------------------------------------------------
+    def _molecules(self, start: int = 0) -> Iterator[Tuple[int, Molecule]]:
+        for idx in range(start, len(self.smiles)):
+            s = self.smiles[idx]
+            try:
+                mol = mol_from_smiles(
+                    s, kekulize_mol=not self.cfg.use_aromatic_bonds)
+            except Exception:
+                continue   # unparseable: skip (reference skips None mols)
+            yield idx, mol
+
+    def count_subgraphs(self) -> int:
+        """Total decoding-route length over the set
+        (reference: DataProcesser.py:363-387)."""
+        total = 0
+        for _, mol in self._molecules():
+            total += len(mol.bonds) + 2
+        return total
+
+    # ------------------------------------------------------------------
+    def run(self, restart: bool = False) -> str:
+        cfg = self.cfg
+        chunked = self.h5_path + ".chunked"
+        group_size = cfg.batch_size
+
+        total = self.count_subgraphs()
+        dims = {"nodes": cfg.dim_nodes, "edges": cfg.dim_edges,
+                "APDs": (cfg.dim_apd,)}
+
+        start_idx, written = 0, 0
+        mode = "a" if (restart and os.path.exists(chunked)) else "w"
+        with h5py.File(chunked, mode) as hf:
+            if mode == "w" or "nodes" not in hf:
+                ds = {name: hf.create_dataset(
+                    name, (total, *dims[name]), chunks=True, dtype=np.int8,
+                    maxshape=(None, *dims[name]))
+                    for name in dims}
+            else:
+                ds = {name: hf[name] for name in dims}
+                start_idx, written = self._read_restart()
+
+            group: Dict[bytes, int] = {}
+            g_nodes: List[np.ndarray] = []
+            g_edges: List[np.ndarray] = []
+            g_apds: List[np.ndarray] = []
+            ts_parts: List[Dict] = []
+            ts_weights: List[int] = []
+            mol_nodes: List[np.ndarray] = []
+            mol_edges: List[np.ndarray] = []
+            mol_counts: List[int] = []
+            last_mol = start_idx
+
+            def flush() -> None:
+                nonlocal written, group, g_nodes, g_edges, g_apds
+                if not g_nodes:
+                    return
+                k = len(g_nodes)
+                ds["nodes"][written:written + k] = np.stack(g_nodes)
+                ds["edges"][written:written + k] = np.stack(g_edges)
+                # APD counts are accumulated in int16 and clipped into the
+                # int8 on-disk format (the loss renormalises targets anyway)
+                ds["APDs"][written:written + k] = np.clip(
+                    np.stack(g_apds), 0, 127).astype(np.int8)
+                written += k
+                group, g_nodes, g_edges, g_apds = {}, [], [], []
+                self._write_restart(last_mol, written)
+
+            for idx, mol in self._molecules(start_idx):
+                if self.is_training_set:
+                    nodes_f, edges_f, n_f = ordered_graph(mol, cfg, rng=self.rng)
+                    mol_nodes.append(nodes_f)
+                    mol_edges.append(edges_f)
+                    mol_counts.append(n_f)
+                for nodes, edges, apd in decoding_route(mol, cfg, rng=self.rng):
+                    key = nodes.tobytes() + edges.tobytes()
+                    pos = group.get(key)
+                    if pos is None:
+                        group[key] = len(g_nodes)
+                        g_nodes.append(nodes)
+                        g_edges.append(edges)
+                        g_apds.append(apd.astype(np.int16))
+                    else:
+                        g_apds[pos] = g_apds[pos] + apd
+                    if len(g_nodes) >= group_size:
+                        last_mol = idx + 1
+                        flush()
+                last_mol = idx + 1
+                if self.is_training_set and len(mol_nodes) >= group_size:
+                    ts_parts.append(graph_set_properties(
+                        cfg, np.stack(mol_nodes), np.stack(mol_edges),
+                        np.asarray(mol_counts)))
+                    ts_weights.append(len(mol_nodes))
+                    mol_nodes, mol_edges, mol_counts = [], [], []
+            flush()
+
+            if self.is_training_set and not restart:
+                if mol_nodes:
+                    ts_parts.append(graph_set_properties(
+                        cfg, np.stack(mol_nodes), np.stack(mol_edges),
+                        np.asarray(mol_counts)))
+                    ts_weights.append(len(mol_nodes))
+                ts = merge_ts_properties(ts_parts, ts_weights)
+                if ts:
+                    write_ts_properties_csv(self.smi_path[:-4] + ".csv", ts)
+
+            for name in dims:     # trim dedupe savings
+                ds[name].resize((written, *dims[name]))
+
+        # resave unchunked (reference: DataProcesser.py:147-165)
+        with h5py.File(chunked, "r") as src, h5py.File(self.h5_path, "w") as dst:
+            for name in dims:
+                dst.create_dataset(name, data=src[name][:], chunks=None,
+                                   dtype=np.int8)
+        os.remove(chunked)
+        if os.path.exists(self.restart_path):
+            os.remove(self.restart_path)
+        return self.h5_path
+
+    # ------------------------------------------------------------------
+    def _write_restart(self, last_mol: int, dataset_size: int) -> None:
+        with open(self.restart_path, "w") as fh:
+            fh.write(f"{last_mol}, {dataset_size}")
+
+    def _read_restart(self) -> Tuple[int, int]:
+        try:
+            with open(self.restart_path) as fh:
+                a, b = fh.read().split(",")
+            return int(a), int(b)
+        except Exception:
+            return 0, 0
+
+
+def combine_shards(shard_paths: List[str], out_path: str) -> str:
+    """Merges shard HDF files into one (built-in replacement for
+    tools/combine_HDFs.py:120-189)."""
+    arrays: Dict[str, List[np.ndarray]] = {"nodes": [], "edges": [], "APDs": []}
+    for p in shard_paths:
+        with h5py.File(p, "r") as hf:
+            for name in arrays:
+                arrays[name].append(hf[name][:])
+    with h5py.File(out_path, "w") as out:
+        for name, parts in arrays.items():
+            out.create_dataset(name, data=np.concatenate(parts), chunks=None,
+                               dtype=np.int8)
+    return out_path
+
+
+def preprocess_dataset(cfg: GraphInventConfig, restart: bool = False) -> None:
+    """Preprocesses valid -> test -> train, matching the reference's order
+    and restart inference (Workflow.preprocess_phase, Workflow.py:294-353)."""
+    paths = [
+        (os.path.join(cfg.dataset_dir, "valid.smi"), False),
+        (os.path.join(cfg.dataset_dir, "test.smi"), False),
+        (os.path.join(cfg.dataset_dir, "train.smi"), True),
+    ]
+    if not restart:
+        for smi, _ in paths:
+            h5 = smi[:-3] + "h5"
+            if os.path.exists(h5):
+                raise OSError(
+                    f"{h5} already exists; delete it to re-preprocess "
+                    "(reference: Workflow.py:298-309)")
+    for smi, is_train in paths:
+        if not os.path.exists(smi):
+            continue
+        h5 = smi[:-3] + "h5"
+        if restart and os.path.exists(h5) and not os.path.exists(h5 + ".chunked"):
+            continue    # finished in a previous run
+        print(f"* Preprocessing {smi}", flush=True)
+        Preprocessor(cfg, smi, is_training_set=is_train).run(restart=restart)

@@ -1,0 +1,107 @@
+"""RL scoring function.
+
+Rebuilds ScoringFunction (ScoringFunction.py:14-192): components
+``target_size={n}``, ``QED`` and ``{name}_activity`` (sklearn QSAR model
+over Morgan fingerprints), combined either as a product ("continuous") or a
+thresholded binary AND ("binary"); non-unique / invalid / improperly
+terminated molecules score 0.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.chem.descriptors import qed
+from graphinvent_tpu.chem.fingerprint import bulk_fingerprints
+
+
+class ScoringFunction:
+    def __init__(self, cfg: GraphInventConfig) -> None:
+        self.cfg = cfg
+        self.score_components = list(cfg.score_components)
+        self.score_type = cfg.score_type
+        self.score_thresholds = list(cfg.score_thresholds)
+        self.max_n_nodes = cfg.max_n_nodes
+        if len(self.score_components) != len(self.score_thresholds):
+            raise ValueError("score_components and score_thresholds mismatch")
+        self.qsar_models: Dict[str, object] = {}
+        for name, path in (cfg.qsar_models or {}).items():
+            if isinstance(path, str) and os.path.exists(path):
+                with open(path, "rb") as fh:
+                    model = pickle.load(fh)
+                if isinstance(model, dict) and "classifier_sv" in model:
+                    model = model["classifier_sv"]   # reference pickle layout
+                self.qsar_models[name] = model
+
+    # ------------------------------------------------------------------
+    def compute_score(self, graphs: Sequence, termination: np.ndarray,
+                      validity: np.ndarray, uniqueness: np.ndarray
+                      ) -> np.ndarray:
+        n = len(graphs)
+        contributions = self._contributions(graphs)
+
+        if len(contributions) == 1:
+            final = contributions[0].astype(np.float64)
+        elif self.score_type == "continuous":
+            final = contributions[0].astype(np.float64)
+            for comp in contributions[1:]:
+                final = final * comp
+        elif self.score_type == "binary":
+            masks = [(comp > thr).astype(np.float64)
+                     for comp, thr in zip(contributions, self.score_thresholds)]
+            final = masks[0]
+            for m in masks[1:]:
+                final = final * m
+        else:
+            raise NotImplementedError(self.score_type)
+
+        final = final * np.asarray(uniqueness, np.float64)
+        final = final * np.asarray(validity, np.float64)
+        final = final * np.asarray(termination, np.float64)
+        return final
+
+    # ------------------------------------------------------------------
+    def _contributions(self, graphs: Sequence) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        n = len(graphs)
+        mols = None
+        for comp in self.score_components:
+            if comp.startswith("target_size"):
+                target = int(comp.split("=", 1)[1])
+                if not (0 < target <= self.max_n_nodes):
+                    raise ValueError("invalid target_size")
+                n_nodes = np.array([g.n_nodes for g in graphs], np.float64)
+                denom = max(self.max_n_nodes - target, 1)
+                score = 1.0 - np.abs(n_nodes - target) / denom
+                out.append(score)
+            elif comp == "QED":
+                if mols is None:
+                    mols = [g.molecule for g in graphs]
+                out.append(np.array([qed(m) for m in mols], np.float64))
+            elif "activity" in comp:
+                if mols is None:
+                    mols = [g.molecule for g in graphs]
+                model = self.qsar_models.get(comp)
+                if model is None:
+                    out.append(np.zeros(n))
+                    continue
+                fps = bulk_fingerprints(mols)
+                try:
+                    probs = model.predict_proba(fps)[:, 1]
+                except Exception:
+                    probs = np.zeros(n)
+                # molecules that failed to build score 0
+                for k, m in enumerate(mols):
+                    if m is None or m.n_atoms == 0:
+                        probs[k] = 0.0
+                out.append(np.asarray(probs, np.float64))
+            else:
+                raise NotImplementedError(
+                    f"score component {comp!r} is not defined "
+                    "(reference: ScoringFunction.py:155-158)")
+        return out

@@ -1,0 +1,164 @@
+"""Device mesh + sharded training step.
+
+The reference is strictly single-device (SURVEY.md §2.2: no
+DistributedDataParallel, no collectives anywhere; scale-out = independent
+SLURM jobs).  Here parallelism is first-class:
+
+* mesh axes ``("data", "model")``: batches shard over ``data`` (gradient
+  all-reduce compiles to a psum over ICI); the APD head's wide MLPs --
+  fAddNet2 is the dominant matmul (gnn/modules.py:214-219; for GDB-13:
+  13*45+100 -> 500 -> 13*45 per graph) -- shard their hidden/output
+  dimensions over ``model`` (tensor parallelism);
+* everything is expressed with ``NamedSharding`` constraints on one jitted
+  step; XLA inserts the collectives (scaling-book recipe: pick a mesh,
+  annotate, let the compiler do the comms).
+
+Edge partitioning over a ``graph`` axis (the sequence-parallel analogue for
+the (B, N, N, E) edge tensor) lives in parallel/graph_shard.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.train.loss import apd_kl_loss
+from graphinvent_tpu.train.optim import AdamState, OneCycle, adam_update
+from graphinvent_tpu.models import apply_model
+
+Params = Any
+
+
+def make_mesh(cfg: GraphInventConfig,
+              devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.mp_devices)
+    dp = cfg.dp_devices if cfg.dp_devices > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(f"dp({dp}) * mp({mp}) != n_devices({n})")
+    dev_array = np.asarray(devices).reshape(dp, mp)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+# --------------------------------------------------------------------------
+# sharding rules
+# --------------------------------------------------------------------------
+
+def batch_spec() -> Dict[str, P]:
+    return {"nodes": P("data"), "edges": P("data"), "apds": P("data"),
+            "valid": P("data")}
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]
+                ) -> Dict[str, jnp.ndarray]:
+    spec = batch_spec()
+    return {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+            for k, v in batch.items()}
+
+
+def _apd_head_spec(path: Tuple, leaf) -> P:
+    """Tensor-parallel layout for the APD head's tier-2 MLPs: split every
+    hidden layer's rows (output features) over ``model``; the preceding
+    layer's activations are replicated, the matmul output is sharded, and
+    XLA all-gathers only at the (small) final logits."""
+    keys = [getattr(p, "key", getattr(p, "name", None)) or str(p) for p in path]
+    in_head = any(k in ("f_add_2", "f_conn_2") for k in keys)
+    if not in_head:
+        return P()
+    if keys and keys[-1] == "w" and leaf.ndim == 2:
+        return P("model", None)
+    if keys and keys[-1] == "b" and leaf.ndim == 1:
+        return P("model")
+    return P()
+
+
+def param_specs(params: Params, tensor_parallel: bool = True) -> Params:
+    if not tensor_parallel:
+        return jax.tree_util.tree_map(lambda _: P(), params)
+    return jax.tree_util.tree_map_with_path(_apd_head_spec, params)
+
+
+def shard_params(mesh: Mesh, params: Params,
+                 tensor_parallel: Optional[bool] = None) -> Params:
+    if tensor_parallel is None:
+        tensor_parallel = mesh.shape["model"] > 1
+    specs = param_specs(params, tensor_parallel)
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs)
+
+
+def _shardable_head(params: Params, mesh: Mesh) -> bool:
+    """TP sharding of the head requires layer widths divisible by the model
+    axis; fall back to replicated otherwise."""
+    mp = mesh.shape["model"]
+    if mp == 1:
+        return False
+    ok = [True]
+
+    def check(path, leaf):
+        spec = _apd_head_spec(path, leaf)
+        if spec and spec[0] == "model" and leaf.shape[0] % mp != 0:
+            ok[0] = False
+        return leaf
+
+    jax.tree_util.tree_map_with_path(check, params)
+    return ok[0]
+
+
+# --------------------------------------------------------------------------
+# sharded train step
+# --------------------------------------------------------------------------
+
+def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
+                            mesh: Mesh, params: Params
+                            ) -> Tuple[Callable, Params, Callable]:
+    """Returns (train_step, sharded_params, place_batch).
+
+    The step is an ordinary jit with in/out shardings; batch sharded over
+    ``data``, selected head params over ``model``, everything else
+    replicated.  Gradient reduction and TP collectives are inserted by XLA.
+    """
+    tp = _shardable_head(params, mesh)
+    pspecs = param_specs(params, tp)
+    p_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), pspecs)
+    b_shardings = {k: NamedSharding(mesh, s) for k, s in batch_spec().items()}
+    opt_shardings = AdamState(
+        step=NamedSharding(mesh, P()),
+        mu=p_shardings, nu=p_shardings)
+    rng_sharding = NamedSharding(mesh, P())
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch, rng):
+        nodes = batch["nodes"].astype(compute_dtype)
+        edges = batch["edges"].astype(compute_dtype)
+        logits = apply_model(cfg, params, nodes, edges, train=True, rng=rng)
+        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
+                           batch.get("valid"))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(p_shardings, opt_shardings, b_shardings, rng_sharding),
+        out_shardings=(p_shardings, opt_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        lr, beta1 = schedule(opt_state.step)
+        params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
+        return params, opt_state, loss
+
+    sharded_params = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(jnp.asarray(p), s), params, p_shardings)
+
+    def place_batch(batch):
+        return {k: jax.device_put(jnp.asarray(v), b_shardings[k])
+                for k, v in batch.items()}
+
+    return train_step, sharded_params, place_batch

@@ -1,0 +1,168 @@
+"""RL fine-tuning phase: agent / prior / best-agent-so-far.
+
+Rebuilds Workflow.learning_phase + learning_step (Workflow.py:515-612) and
+the augmented-likelihood loss (Workflow.py:862-898):
+
+  loss_i = (agent_ll_i - (prior_ll_i + sigma * score_i))^2 * unique_i
+  loss   = (1 - alpha) * mean(loss_agent_batch) + alpha * mean(loss_basf_batch)
+
+In JAX the three models are just three parameter pytrees sharing one apply
+function (SURVEY.md §7 phase 5).  Gradients reach the agent through
+differentiable trajectory replay (sampling/replay.py) instead of grad-through
+-the-sampling-loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.eval.analyzer import Analyzer
+from graphinvent_tpu.eval.scoring import ScoringFunction
+from graphinvent_tpu.sampling import GraphSampler
+from graphinvent_tpu.sampling.replay import trajectory_loglik
+from graphinvent_tpu.train.optim import adam_init, adam_update, onecycle_for_config
+from graphinvent_tpu.utils.checkpoint import (
+    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+)
+
+Params = Any
+
+
+def _make_rl_grad(cfg: GraphInventConfig):
+    """Jitted value+grad of the combined RL loss w.r.t. agent params."""
+
+    def loss_fn(agent_params, actions_a, t_a, target_a, mask_a,
+                actions_b, t_b, target_b, mask_b, alpha):
+        agent_ll_a = trajectory_loglik(cfg, agent_params, actions_a, t_a)
+        diff_a = agent_ll_a - target_a
+        loss_a = jnp.mean(diff_a * diff_a * mask_a)
+        # BASF term: agent enters as "prior" (model_b), gradient flows
+        # through its log-likelihood of BASF's samples (Workflow.py:588-595)
+        agent_ll_b = trajectory_loglik(cfg, agent_params, actions_b, t_b)
+        diff_b = target_b - agent_ll_b
+        loss_b = jnp.mean(diff_b * diff_b * mask_b)
+        return (1.0 - alpha) * loss_a + alpha * loss_b
+
+    return jax.jit(jax.value_and_grad(loss_fn))
+
+
+def _score_batch(workflow, scoring_fn: ScoringFunction, analyzer: Analyzer,
+                 res, step: int, label: str, write: bool
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    validity, uniqueness, _ = analyzer.evaluate_generated_graphs(
+        res.graphs, res.properly_terminated, res.final_loglikelihoods,
+        epoch_key=f"Step {step} {label}", write=write, label=label,
+        plot=False)
+    scores = scoring_fn.compute_score(res.graphs, res.properly_terminated,
+                                      validity, uniqueness)
+    return scores, uniqueness
+
+
+def learning_phase(workflow) -> None:
+    """Fine-tunes a pre-trained model via policy gradient RL."""
+    cfg: GraphInventConfig = workflow.cfg
+    logger = workflow.logger
+    analyzer = Analyzer(cfg, logger, workflow._load_ts_properties(),
+                        workflow.start_time)
+    scoring_fn = ScoringFunction(cfg)
+
+    # ---- load pre-trained model (Workflow.py:164-206) ---------------------
+    found = latest_checkpoint(cfg.pretrained_model_dir)
+    if found is None:
+        import os
+        pre = os.path.join(cfg.dataset_dir, "pretrained_model.ckpt")
+        if os.path.exists(pre):
+            found = (pre, 0)
+    if found is None:
+        raise FileNotFoundError(
+            f"no pre-trained checkpoint in {cfg.pretrained_model_dir} or "
+            f"{cfg.dataset_dir}")
+    path, restart_epoch = found
+    print(f"-- Loading pre-trained model from {path}", flush=True)
+    agent_params, _, _ = load_checkpoint(path)
+    agent_params = jax.tree_util.tree_map(jnp.asarray, agent_params)
+    prior_params = agent_params
+    basf_params = agent_params          # "best agent so far"
+
+    opt_state = adam_init(agent_params)
+    schedule = onecycle_for_config(cfg, 1)
+    rl_grad = _make_rl_grad(cfg)
+    sampler = GraphSampler(cfg, cfg.batch_size)
+    sigma, alpha = cfg.sigma, cfg.alpha
+    best_avg_score = 0.0
+    key = workflow.key
+
+    start_step = restart_epoch + 1
+    end_step = start_step + cfg.epochs
+
+    # ---- pre-fine-tuning evaluation (Workflow.py:536-542) -----------------
+    res = sampler.sample(agent_params, jax.random.fold_in(key, 999_999))
+    scores0, _ = _score_batch(workflow, scoring_fn, analyzer, res,
+                              start_step - 1, "pre-fine-tuning", True)
+    logger.save_rl_metrics(start_step - 1, float(np.mean(scores0)), append=False)
+
+    print("* Begin learning.", flush=True)
+    for step in range(start_step, end_step):
+        t0 = time.time()
+        # ---- agent rollout -----------------------------------------------
+        res_a = sampler.sample(agent_params, jax.random.fold_in(key, 2 * step),
+                               quiet=True)
+        scores_a, unique_a = _score_batch(workflow, scoring_fn, analyzer,
+                                          res_a, step, "agent", True)
+        prior_ll = np.asarray(trajectory_loglik(
+            cfg, prior_params, jnp.asarray(res_a.actions),
+            jnp.asarray(res_a.t_counts)))
+        target_a = jnp.asarray(prior_ll + sigma * scores_a, jnp.float32)
+        mask_a = jnp.asarray(unique_a != 0, jnp.float32)
+
+        # ---- best-agent-so-far rollout (Workflow.py:588-591,743-747) ------
+        res_b = sampler.sample(basf_params, jax.random.fold_in(key, 2 * step + 1),
+                               quiet=True)
+        scores_b, unique_b = _score_batch(workflow, scoring_fn, analyzer,
+                                          res_b, step, "BASF", False)
+        basf_ll = np.asarray(trajectory_loglik(
+            cfg, basf_params, jnp.asarray(res_b.actions),
+            jnp.asarray(res_b.t_counts)))
+        # loss_b = (basf_ll - (agent_ll + sigma*score))^2, mask includes the
+        # score > best_avg_score gate
+        target_b = jnp.asarray(basf_ll - sigma * scores_b, jnp.float32)
+        unique_b = np.where(scores_b > best_avg_score, unique_b, 0)
+        mask_b = jnp.asarray(unique_b != 0, jnp.float32)
+
+        loss, grads = rl_grad(agent_params,
+                              jnp.asarray(res_a.actions),
+                              jnp.asarray(res_a.t_counts), target_a, mask_a,
+                              jnp.asarray(res_b.actions),
+                              jnp.asarray(res_b.t_counts), target_b, mask_b,
+                              alpha)
+        lr, beta1 = schedule(opt_state.step)
+        agent_params, opt_state = adam_update(grads, opt_state, agent_params,
+                                              lr, beta1)
+
+        avg_score = float(np.mean(scores_a))
+        print(f"Step {step}: loss {float(loss):.4f} avg_score "
+              f"{avg_score:.4f} ({time.time()-t0:.1f}s)", flush=True)
+        logger.write_training_status(step, float(lr), float(loss), 0.0,
+                                     score=avg_score)
+
+        if step % cfg.sample_every == 0:
+            res_e = sampler.sample(agent_params,
+                                   jax.random.fold_in(key, 10_000_000 + step),
+                                   quiet=True)
+            scores_e, _ = _score_batch(workflow, scoring_fn, analyzer, res_e,
+                                       step, "eval", True)
+            eval_score = float(np.mean(scores_e))
+            logger.save_rl_metrics(step, eval_score)
+            save_checkpoint(checkpoint_path(cfg.job_dir, step), agent_params,
+                            opt_state, step)
+            if eval_score > best_avg_score:
+                best_avg_score = eval_score
+                basf_params = agent_params
+                print("-- Updated best model.", flush=True)

@@ -49,6 +49,8 @@ class SampleResult:
     properly_terminated: np.ndarray      # (batch_size,) 0/1
     n_rounds: int
     elapsed_s: float
+    actions: Optional[np.ndarray] = None   # (batch_size, L) action ids
+    t_counts: Optional[np.ndarray] = None  # (batch_size,) actions per graph
 
     @property
     def graphs_per_s(self) -> float:
@@ -74,10 +76,12 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         n_nodes=jnp.zeros((B,), jnp.int32),
         t=jnp.zeros((B,), jnp.int32),            # per-graph action slot
         ll=jnp.zeros((B, L), jnp.float32),       # log p per action (live)
+        acts=jnp.zeros((B, L), jnp.int32),       # action ids (live)
         out_nodes=jnp.zeros((OUT, N, Fn), dt),
         out_edges=jnp.zeros((OUT, N, N, E), dt),
         out_n_nodes=jnp.zeros((OUT,), jnp.int32),
         out_ll=jnp.zeros((OUT, L), jnp.float32),
+        out_acts=jnp.zeros((OUT, L), jnp.int32),
         out_term=jnp.zeros((OUT,), jnp.int32),
         out_t=jnp.zeros((OUT,), jnp.int32),
         n_done=jnp.zeros((), jnp.int32),
@@ -100,9 +104,10 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         done_term = acts.is_term
         done = done_term | invalid
 
-        # record this action's log-likelihood in the live slot
+        # record this action's log-likelihood + id in the live slot
         slot = jnp.clip(c["t"], 0, L - 1)
         ll = c["ll"].at[jnp.arange(B), slot].set(logp_sel)
+        acts_rec = c["acts"].at[jnp.arange(B), slot].set(action.astype(jnp.int32))
         t = c["t"] + 1
 
         # ---- copy finished graphs to the output buffers -------------------
@@ -120,6 +125,7 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         out_edges = c["out_edges"].at[pos].set(c["edges"], mode="drop")
         out_n = c["out_n_nodes"].at[pos].set(c["n_nodes"], mode="drop")
         out_ll = c["out_ll"].at[pos].set(ll, mode="drop")
+        out_acts = c["out_acts"].at[pos].set(acts_rec, mode="drop")
         out_term = c["out_term"].at[pos].set(term_i, mode="drop")
         out_t = c["out_t"].at[pos].set(t, mode="drop")
         n_done = c["n_done"] + jnp.sum(done.astype(jnp.int32))
@@ -132,18 +138,21 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         edges = jnp.where(keep[:, None, None, None], edges, 0.0)
         n_nodes = jnp.where(keep, n_nodes, 0)
         ll = jnp.where(keep[:, None], ll, 0.0)
+        acts_rec = jnp.where(keep[:, None], acts_rec, 0)
         t = jnp.where(keep, t, 0)
 
         return dict(key=key, nodes=nodes, edges=edges, n_nodes=n_nodes,
-                    t=t, ll=ll, out_nodes=out_nodes, out_edges=out_edges,
-                    out_n_nodes=out_n, out_ll=out_ll, out_term=out_term,
+                    t=t, ll=ll, acts=acts_rec, out_nodes=out_nodes,
+                    out_edges=out_edges, out_n_nodes=out_n, out_ll=out_ll,
+                    out_acts=out_acts, out_term=out_term,
                     out_t=out_t, n_done=n_done,
                     rounds=c["rounds"] + 1)
 
     final = jax.lax.while_loop(cond, body, init)
     return (final["out_nodes"][:B], final["out_edges"][:B],
             final["out_n_nodes"][:B], final["out_ll"][:B],
-            final["out_term"][:B], final["out_t"][:B], final["rounds"])
+            final["out_acts"][:B], final["out_term"][:B], final["out_t"][:B],
+            final["rounds"])
 
 
 class GraphSampler:
@@ -163,14 +172,15 @@ class GraphSampler:
     def sample(self, params: Params, key: jax.Array,
                quiet: bool = False) -> SampleResult:
         t0 = time.time()
-        (nodes, edges, n_nodes, ll, term, t_count, rounds) = jax.block_until_ready(
-            self._jitted(params, key))
+        (nodes, edges, n_nodes, ll, acts, term, t_count, rounds) = \
+            jax.block_until_ready(self._jitted(params, key))
         elapsed = time.time() - t0
 
         nodes = np.asarray(nodes, np.float32)
         edges = np.asarray(edges, np.float32)
         n_nodes = np.asarray(n_nodes)
         ll = np.asarray(ll)
+        acts = np.asarray(acts)
         term = np.asarray(term)
         t_count = np.asarray(t_count)
 
@@ -188,4 +198,5 @@ class GraphSampler:
         return SampleResult(graphs=graphs, action_nlls=action_nlls,
                             final_loglikelihoods=final_ll,
                             properly_terminated=term.astype(np.int8),
-                            n_rounds=int(rounds), elapsed_s=elapsed)
+                            n_rounds=int(rounds), elapsed_s=elapsed,
+                            actions=acts, t_counts=t_count)

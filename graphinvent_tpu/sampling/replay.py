@@ -1,0 +1,61 @@
+"""Differentiable replay of sampled action trajectories.
+
+The reference computes agent/prior likelihoods *inside* its Python sampling
+loop with autograd enabled, running two model forwards per round
+(GraphGeneratorRL.py:128-172).  The TPU-native design separates concerns:
+
+  1. sampling runs grad-free in the fast ``lax.while_loop``
+     (sampling/generator.py) and records each graph's action-id sequence;
+  2. :func:`trajectory_loglik` rebuilds the graph states deterministically
+     from those actions with a ``lax.scan`` and accumulates the chosen
+     actions' log-probabilities -- differentiable w.r.t. the model params.
+
+Because the policy-gradient surrogate loss only needs gradients of
+``log p(action | state)`` at the *sampled* actions (Workflow.py:862-898),
+this replay gradient is exactly the reference's.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.models import apply_model
+from graphinvent_tpu.sampling.actions import apply_actions, decode_actions
+
+Params = Any
+
+
+def trajectory_loglik(cfg: GraphInventConfig, params: Params,
+                      actions: jnp.ndarray, t_counts: jnp.ndarray,
+                      apply_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """actions (B, L) int32 action ids, t_counts (B,) how many are real.
+    Returns (B,) sum of log p over each trajectory under ``params``."""
+    if apply_fn is None:
+        apply_fn = lambda p, n, e: apply_model(cfg, p, n, e)
+    B, L = actions.shape
+    N, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def step(carry, s):
+        nodes, edges, n_nodes, acc = carry
+        active = s < t_counts
+        logits = apply_fn(params, nodes, edges).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        a = actions[:, s]
+        chosen = logp[jnp.arange(B), a]
+        acc = acc + jnp.where(active, chosen, 0.0)
+
+        acts = decode_actions(cfg, a, n_nodes, edges)
+        acts = acts._replace(is_add=acts.is_add & active,
+                             is_conn=acts.is_conn & active)
+        nodes, edges, n_nodes = apply_actions(cfg, acts, nodes, edges, n_nodes)
+        return (nodes, edges, n_nodes, acc), None
+
+    init = (jnp.zeros((B, N, Fn), dt), jnp.zeros((B, N, N, E), dt),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
+    (_, _, _, acc), _ = jax.lax.scan(step, init, jnp.arange(L))
+    return acc

@@ -1,0 +1,263 @@
+"""Job orchestration: the recipes for the five job types.
+
+Rebuilds Workflow (Workflow.py:27-898): ``preprocess``, ``train``,
+``generate``, ``test``, ``fine-tune``.  State is explicit (params +
+optimizer pytrees), checkpoints capture everything, and all device work goes
+through the jitted steps in train/step.py and sampling/.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.data import BlockLoader, HDFDataset
+from graphinvent_tpu.data.preprocess import preprocess_dataset
+from graphinvent_tpu.eval.analyzer import Analyzer
+from graphinvent_tpu.eval.properties import load_ts_properties_csv
+from graphinvent_tpu.models import init_model
+from graphinvent_tpu.train.optim import (
+    AdamState, adam_init, onecycle_for_config,
+)
+from graphinvent_tpu.train.step import (
+    make_eval_step, make_likelihood_step, make_train_step,
+)
+from graphinvent_tpu.sampling import GraphSampler
+from graphinvent_tpu.utils.checkpoint import (
+    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+)
+from graphinvent_tpu.utils.logging import JobLogger
+
+
+class Workflow:
+    def __init__(self, cfg: GraphInventConfig) -> None:
+        cfg.validate()
+        if cfg.job_type != "preprocess":
+            cfg.check_preprocessing_params()
+        self.cfg = cfg
+        self.start_time = time.time()
+        self.logger = JobLogger(cfg.job_dir, cfg.tensorboard_dir)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        d = cfg.dataset_dir
+        self.train_h5 = os.path.join(d, "train.h5")
+        self.valid_h5 = os.path.join(d, "valid.h5")
+        self.test_h5 = os.path.join(d, "test.h5")
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        job = self.cfg.job_type
+        if job == "preprocess":
+            self.preprocess_phase()
+        elif job == "train":
+            self.training_phase()
+        elif job == "generate":
+            self.generation_phase()
+        elif job == "test":
+            self.testing_phase()
+        elif job == "fine-tune":
+            from graphinvent_tpu.rl.workflow_rl import learning_phase
+            learning_phase(self)
+        else:
+            raise NotImplementedError(f"Undefined job type {job!r}")
+        elapsed = time.time() - self.start_time
+        print(f"-- time elapsed: {elapsed:.5f} s", flush=True)
+
+    # ------------------------------------------------------------------
+    def preprocess_phase(self) -> None:
+        preprocess_dataset(self.cfg, restart=self.cfg.restart)
+
+    # ------------------------------------------------------------------
+    def _load_ts_properties(self) -> Dict:
+        csv_path = os.path.join(self.cfg.dataset_dir, "train.csv")
+        if os.path.exists(csv_path):
+            return load_ts_properties_csv(csv_path)
+        return {}
+
+    def _init_or_restore(self, n_batches: int
+                         ) -> Tuple[Any, AdamState, int]:
+        """-> (params, opt_state, start_epoch)."""
+        cfg = self.cfg
+        if cfg.restart:
+            found = latest_checkpoint(cfg.job_dir)
+            if found:
+                path, epoch = found
+                print(f"-- Restoring checkpoint {path}", flush=True)
+                params, opt_state, _ = load_checkpoint(path)
+                if opt_state is None:
+                    opt_state = adam_init(params)
+                return params, opt_state, epoch + 1
+        params = init_model(cfg, self.key)
+        return params, adam_init(params), 1
+
+    # ------------------------------------------------------------------
+    def training_phase(self) -> None:
+        cfg = self.cfg
+        print("* Setting up training job.", flush=True)
+        train_ds = HDFDataset(self.train_h5)
+        valid_ds = HDFDataset(self.valid_h5)
+        train_loader = BlockLoader(train_ds, cfg.batch_size, cfg.block_size,
+                                   seed=cfg.seed)
+        valid_loader = BlockLoader(valid_ds, cfg.batch_size, cfg.block_size,
+                                   shuffle=False, seed=cfg.seed)
+        ts_props = self._load_ts_properties()
+        analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
+        if not cfg.restart:
+            self.logger.init_convergence()
+            if ts_props:
+                self.logger.properties_to_csv(ts_props, "Training set",
+                                              append=False)
+
+        n_batches = len(train_loader)
+        schedule = onecycle_for_config(cfg, n_batches)
+        params, opt_state, start_epoch = self._init_or_restore(n_batches)
+        train_step = make_train_step(cfg, schedule)
+        eval_step = make_eval_step(cfg)
+        nll_step = make_likelihood_step(cfg)
+
+        print("* Beginning training.", flush=True)
+        end_epoch = start_epoch + cfg.epochs
+        for epoch in range(start_epoch, end_epoch):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            for batch in train_loader:
+                b = {k: jnp.asarray(v) for k, v in batch.items()}
+                rng = jax.random.fold_in(self.key, int(opt_state.step))
+                params, opt_state, loss = train_step(params, opt_state, b, rng)
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+
+            vlosses = [eval_step(params, {k: jnp.asarray(v)
+                                          for k, v in batch.items()})
+                       for batch in valid_loader]
+            valid_loss = float(jnp.mean(jnp.stack(vlosses)))
+
+            lr, _ = schedule(opt_state.step - 1)
+            print(f"Epoch {epoch}: train {train_loss:.5f} valid "
+                  f"{valid_loss:.5f} ({time.time()-t0:.1f}s)", flush=True)
+            self.logger.write_training_status(epoch, float(lr), train_loss,
+                                              valid_loss)
+
+            if epoch % cfg.sample_every == 0:
+                self.evaluate_model(params, epoch, analyzer,
+                                    train_loader, valid_loader, nll_step)
+                save_checkpoint(checkpoint_path(cfg.job_dir, epoch),
+                                params, opt_state, epoch)
+        final = end_epoch - 1
+        save_checkpoint(checkpoint_path(cfg.job_dir, final), params,
+                        opt_state, final)
+
+    # ------------------------------------------------------------------
+    def _dataset_nlls(self, params, loader: BlockLoader, nll_step,
+                      max_rows: int) -> np.ndarray:
+        out: List[np.ndarray] = []
+        n = 0
+        for batch in loader:
+            b = {k: jnp.asarray(v) for k, v in batch.items()}
+            nll = np.asarray(nll_step(params, b))
+            mask = batch["valid"] > 0
+            out.append(nll[mask])
+            n += int(mask.sum())
+            if n >= max_rows:
+                break
+        return np.concatenate(out) if out else np.zeros(0)
+
+    def evaluate_model(self, params, epoch: int, analyzer: Analyzer,
+                       train_loader, valid_loader, nll_step) -> None:
+        """Sample + UC-JSD evaluation (reference: Workflow.py:441-513 +
+        Analyzer.evaluate_model)."""
+        cfg = self.cfg
+        n_samples = cfg.n_samples
+        batch = min(cfg.batch_size, n_samples)
+        sampler = GraphSampler(cfg, batch)
+        all_nlls: List[np.ndarray] = []
+        n_done = 0
+        batch_idx = 0
+        while n_done < n_samples:
+            res = sampler.sample(params, jax.random.fold_in(self.key,
+                                                            1000 + epoch + batch_idx))
+            analyzer.evaluate_generated_graphs(
+                res.graphs, res.properly_terminated,
+                res.final_loglikelihoods, epoch_key=f"Epoch {epoch}",
+                write=(batch_idx == 0), plot=(batch_idx == 0))
+            all_nlls.append(res.action_nlls)
+            n_done += len(res.graphs)
+            batch_idx += 1
+        gen_nlls = np.concatenate(all_nlls)
+
+        max_rows = min(100000, n_samples)
+        nll_valid = self._dataset_nlls(params, valid_loader, nll_step, max_rows)
+        nll_train = self._dataset_nlls(params, train_loader, nll_step, max_rows)
+        scores = analyzer.model_scores(nll_valid, nll_train, gen_nlls,
+                                       n_samples)
+        self.logger.write_validation_scores(f"Epoch {epoch}", scores)
+        self.logger.append_score(scores["UC-JSD"])
+        self.logger.tb_scalar("Evaluation/uc_jsd", scores["UC-JSD"], epoch)
+
+    # ------------------------------------------------------------------
+    def _load_model_for_inference(self, epoch: Optional[int] = None):
+        cfg = self.cfg
+        if epoch is not None:
+            path = checkpoint_path(cfg.job_dir, epoch)
+        else:
+            found = latest_checkpoint(cfg.job_dir)
+            if not found:
+                raise FileNotFoundError(f"no checkpoint in {cfg.job_dir}")
+            path, epoch = found
+        print(f"* Loading model from {path} (epoch {epoch}).", flush=True)
+        params, _, _ = load_checkpoint(path)
+        return params, epoch
+
+    def generation_phase(self) -> None:
+        cfg = self.cfg
+        ts_props = self._load_ts_properties()
+        analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
+        params, epoch = self._load_model_for_inference(cfg.generation_epoch)
+        batch = min(cfg.batch_size, cfg.n_samples)
+        sampler = GraphSampler(cfg, batch)
+        n_done, batch_idx = 0, 0
+        while n_done < cfg.n_samples:
+            res = sampler.sample(params,
+                                 jax.random.fold_in(self.key, batch_idx))
+            analyzer.evaluate_generated_graphs(
+                res.graphs, res.properly_terminated,
+                res.final_loglikelihoods,
+                epoch_key=f"Epoch {epoch} gen{batch_idx}",
+                write=True, plot=(batch_idx == 0))
+            n_done += len(res.graphs)
+            batch_idx += 1
+
+    # ------------------------------------------------------------------
+    def testing_phase(self) -> None:
+        cfg = self.cfg
+        test_ds = HDFDataset(self.test_h5)
+        test_loader = BlockLoader(test_ds, cfg.batch_size, cfg.block_size,
+                                  shuffle=False, seed=cfg.seed)
+        train_ds = HDFDataset(self.train_h5)
+        train_loader = BlockLoader(train_ds, cfg.batch_size, cfg.block_size,
+                                   shuffle=False, seed=cfg.seed)
+        ts_props = self._load_ts_properties()
+        analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
+        params, epoch = self._load_model_for_inference()
+        nll_step = make_likelihood_step(cfg)
+
+        batch = min(cfg.batch_size, cfg.n_samples)
+        sampler = GraphSampler(cfg, batch)
+        res = sampler.sample(params, self.key)
+        analyzer.evaluate_generated_graphs(
+            res.graphs, res.properly_terminated, res.final_loglikelihoods,
+            epoch_key=f"Test epoch {epoch}")
+        max_rows = min(100000, cfg.n_samples)
+        nll_test = self._dataset_nlls(params, test_loader, nll_step, max_rows)
+        nll_train = self._dataset_nlls(params, train_loader, nll_step, max_rows)
+        scores = analyzer.model_scores(nll_test, nll_train, res.action_nlls,
+                                       cfg.n_samples)
+        self.logger.write_validation_scores(f"Test {epoch}", scores)
+        print("Test scores:", scores, flush=True)

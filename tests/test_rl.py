@@ -1,0 +1,99 @@
+import os
+
+import numpy as np
+import pytest
+
+from graphinvent_tpu.config import test_config as tiny_config
+
+
+def test_scoring_function_target_size():
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+    from graphinvent_tpu.chem.molgraph import MolGraph
+    cfg = tiny_config("GGNN", score_components=("target_size=5",),
+                      score_thresholds=(0.0,), score_type="binary",
+                      qsar_models={})
+    sf = ScoringFunction(cfg)
+
+    class G:
+        def __init__(self, n):
+            self.n_nodes = n
+    graphs = [G(5), G(13), G(1)]
+    ones = np.ones(3)
+    scores = sf.compute_score(graphs, ones, ones, ones)
+    assert scores[0] == 1.0            # exactly target size -> above 0.0
+    assert scores[1] == 0.0            # max distance -> 1 - 8/8 = 0
+
+
+def test_scoring_masks_invalid_and_duplicates():
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+    cfg = tiny_config("GGNN", score_components=("target_size=5",),
+                      score_thresholds=(0.0,), score_type="binary",
+                      qsar_models={})
+    sf = ScoringFunction(cfg)
+
+    class G:
+        n_nodes = 5
+    graphs = [G(), G(), G()]
+    scores = sf.compute_score(graphs, np.array([1, 1, 0]),
+                              np.array([1, 0, 1]), np.array([1, 1, 1]))
+    assert list(scores) == [1.0, 0.0, 0.0]
+
+
+def test_qed_scoring_on_graphs():
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+    from graphinvent_tpu.chem import mol_from_smiles
+    from graphinvent_tpu.chem.molgraph import MolGraph, ordered_graph
+    cfg = tiny_config("GGNN", score_components=("QED",),
+                      score_thresholds=(0.5,), score_type="continuous",
+                      qsar_models={})
+    sf = ScoringFunction(cfg)
+    m = mol_from_smiles("CCO")
+    nodes, edges, n = ordered_graph(m, cfg)
+    g = MolGraph(cfg, nodes, edges, n)
+    ones = np.ones(1)
+    scores = sf.compute_score([g], ones, ones, ones)
+    assert 0.0 < scores[0] < 1.0
+
+
+def test_rl_learning_steps(tmp_path):
+    """Two RL fine-tuning steps end-to-end on a tiny model."""
+    import jax
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.utils.checkpoint import save_checkpoint
+    from graphinvent_tpu.workflow import Workflow
+
+    data_dir = str(tmp_path / "data") + "/"
+    job_dir = str(tmp_path / "job") + "/"
+    pre_dir = str(tmp_path / "pre") + "/"
+    os.makedirs(data_dir)
+    os.makedirs(pre_dir)
+    with open(os.path.join(data_dir, "train.smi"), "w") as fh:
+        fh.write("SMILES\nCC\nCCC\nCCO\n")
+
+    cfg = tiny_config(
+        "GGNN", dataset_dir=data_dir, job_dir=job_dir,
+        pretrained_model_dir=pre_dir, job_type="fine-tune",
+        batch_size=8, epochs=2, sample_every=1, sigma=4.0, alpha=0.5,
+        score_components=("target_size=3",), score_thresholds=(0.0,),
+        score_type="binary", qsar_models={})
+
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    save_checkpoint(os.path.join(pre_dir, "model_restart_0.ckpt"),
+                    params, None, 0)
+
+    Workflow(cfg).run()
+    assert os.path.exists(os.path.join(job_dir, "fine-tuning.log"))
+    log = open(os.path.join(job_dir, "fine-tuning.log")).read()
+    assert "Step" in log
+
+
+def test_fingerprint_properties():
+    from graphinvent_tpu.chem import mol_from_smiles
+    from graphinvent_tpu.chem.fingerprint import morgan_fingerprint, tanimoto
+    a = morgan_fingerprint(mol_from_smiles("CCO"))
+    b = morgan_fingerprint(mol_from_smiles("OCC"))   # same molecule
+    c = morgan_fingerprint(mol_from_smiles("c1ccccc1"))
+    assert np.array_equal(a, b)
+    assert tanimoto(a, b) == 1.0
+    assert tanimoto(a, c) < 0.5
+    assert a.sum() > 0

@@ -1,0 +1,183 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphinvent_tpu.config import test_config as tiny_config
+from graphinvent_tpu.models import init_model
+from graphinvent_tpu.sampling import GraphSampler
+from graphinvent_tpu.sampling.actions import decode_actions, apply_actions
+
+
+def _cfg():
+    return tiny_config("GGNN")
+
+
+def _decode(cfg, action, n_nodes, edges=None):
+    if edges is None:
+        edges = jnp.zeros((1, cfg.max_n_nodes, cfg.max_n_nodes,
+                           cfg.n_edge_features))
+    return decode_actions(cfg, jnp.asarray([action]),
+                          jnp.asarray([n_nodes]), edges)
+
+
+def _add_index(cfg, v, a, c, b):
+    """Flat APD index of add(v, atom_type=a, charge=c, bond=b)."""
+    dims = cfg.dim_f_add
+    idx = 0
+    for val, d in zip((v, a, c, b), dims):
+        idx = idx * d + val
+    return idx
+
+
+def _conn_index(cfg, v, b):
+    return cfg.len_f_add + v * cfg.n_edge_features + b
+
+
+class TestDecode:
+    def test_terminate(self):
+        cfg = _cfg()
+        acts = _decode(cfg, cfg.dim_apd - 1, 3)
+        assert bool(acts.is_term[0]) and not bool(acts.invalid[0])
+
+    def test_valid_add(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _add_index(cfg, 1, 2, 1, 0), 2)
+        assert bool(acts.is_add[0]) and not bool(acts.invalid[0])
+        assert int(acts.add_to[0]) == 1
+        assert int(acts.atom_type[0]) == 2
+        assert int(acts.charge[0]) == 1
+        assert int(acts.add_bond_type[0]) == 0
+        assert int(acts.bond_from[0]) == 2
+
+    def test_add_to_nonexistent_node_invalid(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _add_index(cfg, 5, 0, 1, 0), 2)
+        assert bool(acts.invalid[0])
+
+    def test_add_to_empty_graph(self):
+        cfg = _cfg()
+        ok = _decode(cfg, _add_index(cfg, 0, 0, 1, 0), 0)
+        assert not bool(ok.invalid[0])
+        bad = _decode(cfg, _add_index(cfg, 1, 0, 1, 0), 0)
+        assert bool(bad.invalid[0])
+
+    def test_add_beyond_max_nodes_invalid(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _add_index(cfg, 0, 0, 1, 0), cfg.max_n_nodes)
+        assert bool(acts.invalid[0])
+
+    def test_connect_to_nonexistent_invalid(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _conn_index(cfg, 7, 0), 3)
+        assert bool(acts.invalid[0])
+
+    def test_connect_on_empty_invalid(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _conn_index(cfg, 0, 0), 0)
+        assert bool(acts.invalid[0])
+
+    def test_connect_self_loop_invalid(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _conn_index(cfg, 2, 0), 3)  # conn_from == 2
+        assert bool(acts.invalid[0])
+
+    def test_connect_duplicate_edge_invalid(self):
+        cfg = _cfg()
+        edges = np.zeros((1, cfg.max_n_nodes, cfg.max_n_nodes,
+                          cfg.n_edge_features), np.float32)
+        edges[0, 0, 2, 1] = edges[0, 2, 0, 1] = 1   # existing bond 0-2
+        acts = _decode(cfg, _conn_index(cfg, 0, 0), 3, jnp.asarray(edges))
+        assert bool(acts.invalid[0])      # conn_from=2, conn_to=0 duplicates
+
+    def test_valid_connect(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _conn_index(cfg, 0, 1), 3)
+        assert bool(acts.is_conn[0]) and not bool(acts.invalid[0])
+        assert int(acts.conn_to[0]) == 0
+        assert int(acts.conn_bond_type[0]) == 1
+        assert int(acts.conn_from[0]) == 2
+
+
+class TestApply:
+    def test_add_to_empty_graph(self):
+        cfg = _cfg()
+        acts = _decode(cfg, _add_index(cfg, 0, 1, 1, 0), 0)
+        nodes = jnp.zeros((1, cfg.max_n_nodes, cfg.n_node_features))
+        edges = jnp.zeros((1, cfg.max_n_nodes, cfg.max_n_nodes,
+                           cfg.n_edge_features))
+        nodes, edges, n = apply_actions(cfg, acts, nodes, edges,
+                                        jnp.asarray([0]))
+        assert int(n[0]) == 1
+        assert float(nodes[0, 0, 1]) == 1.0            # atom type 1
+        assert float(nodes[0, 0, cfg.n_atom_types + 1]) == 1.0
+        assert float(edges.sum()) == 0.0               # no dummy self-edge
+
+    def test_add_with_bond(self):
+        cfg = _cfg()
+        nodes = jnp.zeros((1, cfg.max_n_nodes, cfg.n_node_features))
+        nodes = nodes.at[0, 0, 0].set(1.0).at[0, 0, cfg.n_atom_types + 1].set(1.0)
+        edges = jnp.zeros((1, cfg.max_n_nodes, cfg.max_n_nodes,
+                           cfg.n_edge_features))
+        acts = _decode(cfg, _add_index(cfg, 0, 0, 1, 2), 1)
+        nodes, edges, n = apply_actions(cfg, acts, nodes, edges,
+                                        jnp.asarray([1]))
+        assert int(n[0]) == 2
+        assert float(edges[0, 0, 1, 2]) == 1.0
+        assert float(edges[0, 1, 0, 2]) == 1.0
+
+    def test_connect(self):
+        cfg = _cfg()
+        nodes = jnp.zeros((1, cfg.max_n_nodes, cfg.n_node_features))
+        edges = jnp.zeros((1, cfg.max_n_nodes, cfg.max_n_nodes,
+                           cfg.n_edge_features))
+        acts = _decode(cfg, _conn_index(cfg, 0, 1), 3)
+        nodes, edges, n = apply_actions(cfg, acts, nodes, edges,
+                                        jnp.asarray([3]))
+        assert int(n[0]) == 3
+        assert float(edges[0, 2, 0, 1]) == 1.0
+        assert float(edges[0, 0, 2, 1]) == 1.0
+
+
+def test_sampler_end_to_end():
+    cfg = _cfg()
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    sampler = GraphSampler(cfg, batch_size=8)
+    res = sampler.sample(params, jax.random.PRNGKey(1), quiet=True)
+    assert len(res.graphs) == 8
+    assert res.properly_terminated.shape == (8,)
+    assert np.isfinite(res.action_nlls).all()
+    assert (res.action_nlls >= 0).all()
+    assert res.actions.shape[0] == 8
+    assert (res.t_counts >= 1).all()
+
+
+def test_sampler_respects_action_distribution():
+    """A model whose APD puts everything on 'terminate' must produce empty,
+    properly-terminated graphs."""
+    cfg = _cfg()
+
+    def apply_fn(params, nodes, edges):
+        B = nodes.shape[0]
+        logits = jnp.full((B, cfg.dim_apd), -30.0)
+        return logits.at[:, -1].set(30.0)
+
+    sampler = GraphSampler(cfg, batch_size=4, apply_fn=apply_fn)
+    res = sampler.sample({}, jax.random.PRNGKey(0), quiet=True)
+    assert res.properly_terminated.sum() == 4
+    assert all(g.n_nodes == 0 for g in res.graphs)
+    assert res.n_rounds == 1
+
+
+def test_sampler_replay_loglik_consistency():
+    """Replaying the recorded actions under the same params must reproduce
+    the sampler's accumulated log-likelihoods."""
+    from graphinvent_tpu.sampling.replay import trajectory_loglik
+    cfg = _cfg()
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    sampler = GraphSampler(cfg, batch_size=6)
+    res = sampler.sample(params, jax.random.PRNGKey(5), quiet=True)
+    replay = np.asarray(trajectory_loglik(
+        cfg, params, jnp.asarray(res.actions), jnp.asarray(res.t_counts)))
+    np.testing.assert_allclose(replay, res.final_loglikelihoods,
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,86 @@
+import os
+
+import numpy as np
+import pytest
+
+from graphinvent_tpu.config import test_config as tiny_config
+from graphinvent_tpu.workflow import Workflow
+
+SMILES = ["CC", "CCC", "CCO", "CC(C)C", "C1CC1", "OC1CC1", "NCCN", "CC#N"]
+
+
+@pytest.fixture(scope="module")
+def job_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("job")
+    data_dir = str(root / "data") + "/"
+    job_dir = str(root / "out") + "/"
+    os.makedirs(data_dir)
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(data_dir, f"{split}.smi"), "w") as fh:
+            fh.write("SMILES\n")
+            for s in SMILES:
+                fh.write(s + "\n")
+    return data_dir, job_dir
+
+
+def _cfg(job_env, **kw):
+    data_dir, job_dir = job_env
+    base = dict(dataset_dir=data_dir, job_dir=job_dir, batch_size=8,
+                block_size=64, epochs=2, n_samples=8, sample_every=2,
+                generation_epoch=2)
+    base.update(kw)
+    return tiny_config("GGNN", **base)
+
+
+def test_full_job_cycle(job_env):
+    data_dir, job_dir = job_env
+    # 1. preprocess
+    Workflow(_cfg(job_env, job_type="preprocess")).run()
+    assert os.path.exists(os.path.join(data_dir, "train.h5"))
+    assert os.path.exists(os.path.join(data_dir, "train.csv"))
+
+    # 2. train
+    Workflow(_cfg(job_env, job_type="train")).run()
+    assert os.path.exists(os.path.join(job_dir, "convergence.log"))
+    assert os.path.exists(os.path.join(job_dir, "validation.log"))
+    assert os.path.exists(os.path.join(job_dir, "model_restart_2.ckpt"))
+    lines = open(os.path.join(job_dir, "convergence.log")).readlines()
+    assert len(lines) >= 3          # header + 2 epochs
+
+    # 3. restart continues from the checkpoint
+    Workflow(_cfg(job_env, job_type="train", restart=True)).run()
+    lines2 = open(os.path.join(job_dir, "convergence.log")).readlines()
+    assert len(lines2) > len(lines)
+    first_restart_epoch = int(lines2[len(lines)].split(",")[0])
+    assert first_restart_epoch == 3
+
+    # 4. generate
+    Workflow(_cfg(job_env, job_type="generate")).run()
+    gen_dir = os.path.join(job_dir, "generation")
+    assert any(f.endswith(".smi") for f in os.listdir(gen_dir))
+
+    # 5. test
+    Workflow(_cfg(job_env, job_type="test")).run()
+    val = open(os.path.join(job_dir, "validation.log")).read()
+    assert "Test" in val
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.train.optim import adam_init
+    from graphinvent_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    cfg = tiny_config("GGNN")
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    opt = adam_init(params)
+    path = str(tmp_path / "ckpt.ckpt")
+    save_checkpoint(path, params, opt, epoch=7)
+    p2, o2, epoch = load_checkpoint(path)
+    assert epoch == 7
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(o2.step) == 0
