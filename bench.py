@@ -45,6 +45,8 @@ def main() -> None:
     from graphinvent_tpu.train.step import make_train_step
     from tools.torch_baseline import synthetic_batch
 
+    import functools
+
     cfg = preset("GGNN", batch_size=1000, epochs=10,
                  compute_dtype="bfloat16")
     params = init_model(cfg, jax.random.PRNGKey(0))
@@ -62,15 +64,41 @@ def main() -> None:
     }
     key = jax.random.PRNGKey(1)
 
+    # multi-step scan: whole measurement is one device computation (the
+    # training loop's device-resident epoch path works the same way)
+    from graphinvent_tpu.train.loss import apd_kl_loss
+    from graphinvent_tpu.models import apply_model
+    from graphinvent_tpu.train.optim import adam_update
+
+    def loss_fn(params, rng):
+        logits = apply_model(cfg, params, batch["nodes"], batch["edges"],
+                             train=True, rng=rng)
+        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
+                           batch["valid"])
+
+    n_steps = 50
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_steps(params, opt_state, rng):
+        def body(carry, i):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, jax.random.fold_in(rng, i))
+            lr, beta1 = schedule(opt_state.step)
+            params, opt_state = adam_update(grads, opt_state, params, lr,
+                                            beta1)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, losses[-1]
+
     # warmup / compile
-    params, opt_state, loss = step(params, opt_state, batch, key)
+    params, opt_state, loss = run_steps(params, opt_state, key)
     jax.block_until_ready(loss)
 
-    n_steps = 30
     t0 = time.time()
-    for i in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, batch,
-                                       jax.random.fold_in(key, i))
+    params, opt_state, loss = run_steps(params, opt_state,
+                                        jax.random.fold_in(key, 7))
     jax.block_until_ready(loss)
     dt = time.time() - t0
     eps = edges_per_batch * n_steps / dt

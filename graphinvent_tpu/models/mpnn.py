@@ -443,7 +443,12 @@ def apply_emn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
         exp_rev = exp_in                               # (B,N,N,D) indexed [i,k]
         Z = exp_self + S[:, :, None, :] - exp_rev
         numer = exp_self * emb_self + T[:, :, None, :] - exp_rev * embT
-        message = jnp.where(adj[..., None], numer / jnp.maximum(Z, 1e-30), 0.0)
+        # double-where: mask both operands BEFORE dividing so the untaken
+        # branch can't overflow f32 and poison the backward pass with 0*inf
+        edge_m = adj[..., None]
+        Z_safe = jnp.where(edge_m, jnp.maximum(Z, 1e-30), 1.0)
+        numer_safe = jnp.where(edge_m, numer, 0.0)
+        message = numer_safe / Z_safe
 
         new_mem = gru_cell(params["gru"], message.reshape(-1, D),
                            jnp.zeros((B * N * N, D), dt)).reshape(B, N, N, D)

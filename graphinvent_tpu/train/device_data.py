@@ -1,0 +1,143 @@
+"""Device-resident dataset + whole-epoch jitted training.
+
+The reference moves every batch host->device inside the epoch loop
+(Workflow.py:781-783).  On TPU -- especially through a remote-dispatch
+tunnel -- per-step transfers and dispatches dominate for molecule-sized
+batches, so here the *entire* preprocessed dataset (int8: nodes + edges +
+APDs; gdb13_1K is ~15 MB) is pushed to HBM once and an epoch is ONE device
+computation: ``lax.scan`` over shuffled index batches, gathering rows
+on-device and casting int8 -> compute dtype inside the step.
+
+Falls back transparently when the dataset exceeds ``max_bytes`` (the
+BlockLoader path keeps working for arbitrarily large HDFs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.data.loader import HDFDataset
+from graphinvent_tpu.models import apply_model
+from graphinvent_tpu.train.loss import apd_kl_loss, correct_action_likelihoods
+from graphinvent_tpu.train.optim import AdamState, OneCycle, adam_update
+
+Params = Any
+
+
+class DeviceDataset:
+    """Whole HDF dataset as int8 device arrays."""
+
+    def __init__(self, ds: HDFDataset, device=None) -> None:
+        self.n_rows = len(ds)
+        put = functools.partial(jax.device_put, device=device)
+        self.nodes = put(jnp.asarray(np.asarray(ds.nodes[:], np.int8)))
+        self.edges = put(jnp.asarray(np.asarray(ds.edges[:], np.int8)))
+        self.apds = put(jnp.asarray(np.asarray(ds.apds[:], np.int8)))
+
+    @property
+    def nbytes(self) -> int:
+        return self.nodes.nbytes + self.edges.nbytes + self.apds.nbytes
+
+    @staticmethod
+    def fits(ds: HDFDataset, max_bytes: int = 2 << 30) -> bool:
+        row = (int(np.prod(ds.nodes.shape[1:]))
+               + int(np.prod(ds.edges.shape[1:]))
+               + int(np.prod(ds.apds.shape[1:])))
+        return row * len(ds) <= max_bytes
+
+
+def epoch_permutation(n_rows: int, batch_size: int,
+                      rng: np.random.Generator) -> np.ndarray:
+    """(n_batches, batch_size) int32 shuffled row ids; remainder rows padded
+    with -1 (masked out in the loss)."""
+    order = rng.permutation(n_rows).astype(np.int32)
+    n_batches = (n_rows + batch_size - 1) // batch_size
+    padded = np.full(n_batches * batch_size, -1, np.int32)
+    padded[:n_rows] = order
+    return padded.reshape(n_batches, batch_size)
+
+
+def _gather_batch(data: DeviceDataset, idx: jnp.ndarray, compute_dtype
+                  ) -> Dict[str, jnp.ndarray]:
+    safe = jnp.maximum(idx, 0)
+    return {
+        "nodes": jnp.take(data.nodes, safe, axis=0).astype(compute_dtype),
+        "edges": jnp.take(data.edges, safe, axis=0).astype(compute_dtype),
+        "apds": jnp.take(data.apds, safe, axis=0).astype(jnp.float32),
+        "valid": (idx >= 0).astype(jnp.float32),
+    }
+
+
+def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
+                        data: DeviceDataset) -> Callable:
+    """Returns jitted ``(params, opt_state, perm, rng) ->
+    (params, opt_state, mean_loss)`` -- a full epoch in one device call."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch, rng):
+        logits = apply_model(cfg, params, batch["nodes"], batch["edges"],
+                             train=True, rng=rng)
+        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
+                           batch["valid"])
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, perm, rng):
+        def step(carry, idx):
+            params, opt_state = carry
+            batch = _gather_batch(data, idx, compute_dtype)
+            step_rng = jax.random.fold_in(rng, opt_state.step)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
+            lr, beta1 = schedule(opt_state.step)
+            params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), perm)
+        return params, opt_state, jnp.mean(losses)
+
+    return epoch_fn
+
+
+def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset) -> Callable:
+    """Returns jitted ``(params, perm) -> mean_loss`` over index batches."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def eval_fn(params, perm):
+        def step(_, idx):
+            batch = _gather_batch(data, idx, compute_dtype)
+            logits = apply_model(cfg, params, batch["nodes"], batch["edges"])
+            loss = apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
+                               batch["valid"])
+            return None, loss
+
+        _, losses = jax.lax.scan(step, None, perm)
+        return jnp.mean(losses)
+
+    return eval_fn
+
+
+def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset) -> Callable:
+    """Returns jitted ``(params, perm) -> (nlls, valid)`` flattened over the
+    scanned batches (correct-action NLL per row)."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def nll_fn(params, perm):
+        def step(_, idx):
+            batch = _gather_batch(data, idx, compute_dtype)
+            logits = apply_model(cfg, params, batch["nodes"], batch["edges"])
+            p = correct_action_likelihoods(logits.astype(jnp.float32),
+                                           batch["apds"])
+            return None, (-jnp.log(jnp.maximum(p, 1e-30)), batch["valid"])
+
+        _, (nlls, valid) = jax.lax.scan(step, None, perm)
+        return nlls.reshape(-1), valid.reshape(-1)
+
+    return nll_fn

@@ -102,10 +102,6 @@ class Workflow:
         print("* Setting up training job.", flush=True)
         train_ds = HDFDataset(self.train_h5)
         valid_ds = HDFDataset(self.valid_h5)
-        train_loader = BlockLoader(train_ds, cfg.batch_size, cfg.block_size,
-                                   seed=cfg.seed)
-        valid_loader = BlockLoader(valid_ds, cfg.batch_size, cfg.block_size,
-                                   shuffle=False, seed=cfg.seed)
         ts_props = self._load_ts_properties()
         analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
         if not cfg.restart:
@@ -114,31 +110,96 @@ class Workflow:
                 self.logger.properties_to_csv(ts_props, "Training set",
                                               append=False)
 
-        n_batches = len(train_loader)
+        n_batches = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size
         schedule = onecycle_for_config(cfg, n_batches)
         params, opt_state, start_epoch = self._init_or_restore(n_batches)
-        train_step = make_train_step(cfg, schedule)
-        eval_step = make_eval_step(cfg)
-        nll_step = make_likelihood_step(cfg)
+
+        from graphinvent_tpu.train.device_data import (
+            DeviceDataset, epoch_permutation, make_epoch_eval_fn,
+            make_epoch_nll_fn, make_epoch_train_fn,
+        )
+        use_device = (DeviceDataset.fits(train_ds)
+                      and DeviceDataset.fits(valid_ds))
+        rng_np = np.random.default_rng(cfg.seed)
+        if use_device:
+            print("-- Dataset fits in HBM: device-resident epoch path.",
+                  flush=True)
+            dtrain = DeviceDataset(train_ds)
+            dvalid = DeviceDataset(valid_ds)
+            train_epoch_fn = make_epoch_train_fn(cfg, schedule, dtrain)
+            valid_epoch_fn = make_epoch_eval_fn(cfg, dvalid)
+            nll_fns = {"valid": make_epoch_nll_fn(cfg, dvalid),
+                       "train": make_epoch_nll_fn(cfg, dtrain)}
+            sizes = {"valid": len(valid_ds), "train": len(train_ds)}
+
+            def run_train_epoch(epoch):
+                nonlocal params, opt_state
+                perm = jnp.asarray(epoch_permutation(
+                    len(train_ds), cfg.batch_size, rng_np))
+                params, opt_state, loss = train_epoch_fn(
+                    params, opt_state, perm, jax.random.fold_in(self.key, epoch))
+                return float(loss)
+
+            def run_valid_epoch():
+                perm = jnp.asarray(epoch_permutation(
+                    len(valid_ds), cfg.batch_size,
+                    np.random.default_rng(0)))
+                return float(valid_epoch_fn(params, perm))
+
+            def dataset_nlls(which, max_rows):
+                n = min(sizes[which], max_rows)
+                perm = jnp.asarray(epoch_permutation(
+                    n, cfg.batch_size, np.random.default_rng(1)))
+                nlls, valid = nll_fns[which](params, perm)
+                nlls, valid = np.asarray(nlls), np.asarray(valid)
+                return nlls[valid > 0]
+        else:
+            train_loader = BlockLoader(train_ds, cfg.batch_size,
+                                       cfg.block_size, seed=cfg.seed)
+            valid_loader = BlockLoader(valid_ds, cfg.batch_size,
+                                       cfg.block_size, shuffle=False,
+                                       seed=cfg.seed)
+            train_step = make_train_step(cfg, schedule)
+            eval_step = make_eval_step(cfg)
+            nll_step = make_likelihood_step(cfg)
+            loaders = {"valid": valid_loader, "train": train_loader}
+
+            def run_train_epoch(epoch):
+                nonlocal params, opt_state
+                train_loader.set_epoch(epoch)
+                losses = []
+                for batch in train_loader:
+                    b = {k: jnp.asarray(v) for k, v in batch.items()}
+                    rng = jax.random.fold_in(self.key, int(opt_state.step))
+                    params, opt_state, loss = train_step(params, opt_state,
+                                                         b, rng)
+                    losses.append(loss)
+                return float(jnp.mean(jnp.stack(losses)))
+
+            def run_valid_epoch():
+                vlosses = [eval_step(params, {k: jnp.asarray(v)
+                                              for k, v in batch.items()})
+                           for batch in valid_loader]
+                return float(jnp.mean(jnp.stack(vlosses)))
+
+            def dataset_nlls(which, max_rows):
+                out, n = [], 0
+                for batch in loaders[which]:
+                    b = {k: jnp.asarray(v) for k, v in batch.items()}
+                    nll = np.asarray(nll_step(params, b))
+                    mask = batch["valid"] > 0
+                    out.append(nll[mask])
+                    n += int(mask.sum())
+                    if n >= max_rows:
+                        break
+                return np.concatenate(out) if out else np.zeros(0)
 
         print("* Beginning training.", flush=True)
         end_epoch = start_epoch + cfg.epochs
         for epoch in range(start_epoch, end_epoch):
-            train_loader.set_epoch(epoch)
             t0 = time.time()
-            losses = []
-            for batch in train_loader:
-                b = {k: jnp.asarray(v) for k, v in batch.items()}
-                rng = jax.random.fold_in(self.key, int(opt_state.step))
-                params, opt_state, loss = train_step(params, opt_state, b, rng)
-                losses.append(loss)
-            train_loss = float(jnp.mean(jnp.stack(losses)))
-
-            vlosses = [eval_step(params, {k: jnp.asarray(v)
-                                          for k, v in batch.items()})
-                       for batch in valid_loader]
-            valid_loss = float(jnp.mean(jnp.stack(vlosses)))
-
+            train_loss = run_train_epoch(epoch)
+            valid_loss = run_valid_epoch()
             lr, _ = schedule(opt_state.step - 1)
             print(f"Epoch {epoch}: train {train_loss:.5f} valid "
                   f"{valid_loss:.5f} ({time.time()-t0:.1f}s)", flush=True)
@@ -146,8 +207,7 @@ class Workflow:
                                               valid_loss)
 
             if epoch % cfg.sample_every == 0:
-                self.evaluate_model(params, epoch, analyzer,
-                                    train_loader, valid_loader, nll_step)
+                self.evaluate_model(params, epoch, analyzer, dataset_nlls)
                 save_checkpoint(checkpoint_path(cfg.job_dir, epoch),
                                 params, opt_state, epoch)
         final = end_epoch - 1
@@ -155,22 +215,8 @@ class Workflow:
                         opt_state, final)
 
     # ------------------------------------------------------------------
-    def _dataset_nlls(self, params, loader: BlockLoader, nll_step,
-                      max_rows: int) -> np.ndarray:
-        out: List[np.ndarray] = []
-        n = 0
-        for batch in loader:
-            b = {k: jnp.asarray(v) for k, v in batch.items()}
-            nll = np.asarray(nll_step(params, b))
-            mask = batch["valid"] > 0
-            out.append(nll[mask])
-            n += int(mask.sum())
-            if n >= max_rows:
-                break
-        return np.concatenate(out) if out else np.zeros(0)
-
     def evaluate_model(self, params, epoch: int, analyzer: Analyzer,
-                       train_loader, valid_loader, nll_step) -> None:
+                       dataset_nlls) -> None:
         """Sample + UC-JSD evaluation (reference: Workflow.py:441-513 +
         Analyzer.evaluate_model)."""
         cfg = self.cfg
@@ -193,8 +239,8 @@ class Workflow:
         gen_nlls = np.concatenate(all_nlls)
 
         max_rows = min(100000, n_samples)
-        nll_valid = self._dataset_nlls(params, valid_loader, nll_step, max_rows)
-        nll_train = self._dataset_nlls(params, train_loader, nll_step, max_rows)
+        nll_valid = dataset_nlls("valid", max_rows)
+        nll_train = dataset_nlls("train", max_rows)
         scores = analyzer.model_scores(nll_valid, nll_train, gen_nlls,
                                        n_samples)
         self.logger.write_validation_scores(f"Epoch {epoch}", scores)
@@ -255,8 +301,21 @@ class Workflow:
             res.graphs, res.properly_terminated, res.final_loglikelihoods,
             epoch_key=f"Test epoch {epoch}")
         max_rows = min(100000, cfg.n_samples)
-        nll_test = self._dataset_nlls(params, test_loader, nll_step, max_rows)
-        nll_train = self._dataset_nlls(params, train_loader, nll_step, max_rows)
+
+        def loader_nlls(loader):
+            out, n = [], 0
+            for b_np in loader:
+                b = {k: jnp.asarray(v) for k, v in b_np.items()}
+                nll = np.asarray(nll_step(params, b))
+                mask = b_np["valid"] > 0
+                out.append(nll[mask])
+                n += int(mask.sum())
+                if n >= max_rows:
+                    break
+            return np.concatenate(out) if out else np.zeros(0)
+
+        nll_test = loader_nlls(test_loader)
+        nll_train = loader_nlls(train_loader)
         scores = analyzer.model_scores(nll_test, nll_train, res.action_nlls,
                                        cfg.n_samples)
         self.logger.write_validation_scores(f"Test {epoch}", scores)
