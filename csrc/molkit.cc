@@ -1,0 +1,824 @@
+// molkit: native chemistry kernel for graphinvent-tpu preprocessing.
+//
+// Implements the preprocessing hot path -- SMILES parsing, kekulization,
+// canonical ranking (WL refinement), BFS/DFS decoding-route ordering, and
+// decoding-route replay with APD target construction -- with semantics
+// IDENTICAL to the Python implementation in graphinvent_tpu/chem/ (which
+// itself rebuilds graphinvent/MolecularGraph.py + DataProcesser.py).  The
+// Python side loads this via ctypes (graphinvent_tpu/chem/native.py) and
+// falls back to pure Python when the shared library is missing.
+//
+// Build:  g++ -O3 -shared -fPIC -std=c++17 -o libmolkit.so molkit.cc
+//
+// Exactness is enforced by tests/test_native.py: routes produced here must
+// match the Python routes byte-for-byte over the gdb13 training set.
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <map>
+#include <set>
+#include <string>
+#include <tuple>
+#include <vector>
+
+namespace {
+
+struct Atom {
+  std::string element;
+  int charge = 0;
+  int n_implicit_h = -1;  // -1: derive from valence model
+  bool aromatic = false;
+};
+
+struct Mol {
+  std::vector<Atom> atoms;
+  // bonds in creation order; type: 0=single 1=double 2=triple 3=aromatic
+  std::vector<std::tuple<int, int, int>> bonds;
+
+  int n() const { return (int)atoms.size(); }
+
+  int bond_type(int i, int j) const {
+    for (auto& [a, b, t] : bonds)
+      if ((a == i && b == j) || (a == j && b == i)) return t;
+    return -1;
+  }
+  int bond_index(int i, int j) const {
+    for (size_t k = 0; k < bonds.size(); ++k) {
+      auto& [a, b, t] = bonds[k];
+      if ((a == i && b == j) || (a == j && b == i)) return (int)k;
+    }
+    return -1;
+  }
+  std::vector<int> neighbors(int i) const {
+    std::vector<int> out;
+    for (auto& [a, b, t] : bonds) {
+      if (a == i) out.push_back(b);
+      else if (b == i) out.push_back(a);
+    }
+    return out;
+  }
+  int degree(int i) const { return (int)neighbors(i).size(); }
+};
+
+// ---------------------------------------------------------------------------
+// valence model (mirror of chem/molecule.py)
+// ---------------------------------------------------------------------------
+
+const std::map<std::string, std::vector<int>> kDefaultValences = {
+    {"H", {1}},  {"B", {3}},  {"C", {4}},  {"N", {3}},  {"O", {2}},
+    {"F", {1}},  {"Si", {4}}, {"P", {3, 5}}, {"S", {2, 4, 6}},
+    {"Cl", {1}}, {"Br", {1}}, {"I", {1}},  {"Se", {2, 4, 6}},
+};
+const std::set<std::string> kChargeAdds = {"N", "O", "P", "S", "F",
+                                           "Cl", "Br", "I", "Se", "H"};
+const std::map<std::string, int> kAtomicNum = {
+    {"H", 1},  {"B", 5},   {"C", 6},  {"N", 7},  {"O", 8},  {"F", 9},
+    {"Si", 14}, {"P", 15}, {"S", 16}, {"Cl", 17}, {"Br", 35}, {"I", 53},
+    {"Se", 34}};
+
+std::vector<int> allowed_valences(const std::string& el, int charge) {
+  auto it = kDefaultValences.find(el);
+  if (it == kDefaultValences.end()) return {};
+  if (charge == 0) return it->second;
+  std::vector<int> out;
+  if (kChargeAdds.count(el)) {
+    for (int v : it->second)
+      if (v + charge >= 0) out.push_back(v + charge);
+  } else {
+    for (int v : it->second)
+      if (v - std::abs(charge) >= 0) out.push_back(v - std::abs(charge));
+  }
+  return out;
+}
+
+double explicit_valence(const Mol& m, int i) {
+  double total = 0;
+  for (auto& [a, b, t] : m.bonds) {
+    if (a != i && b != i) continue;
+    if (t == 3 && m.atoms[a].aromatic && m.atoms[b].aromatic) total += 1.5;
+    else total += (t == 0 ? 1 : t == 1 ? 2 : t == 2 ? 3 : 1);
+  }
+  return total;
+}
+
+int implicit_h(const Mol& m, int i) {
+  const Atom& atom = m.atoms[i];
+  if (atom.n_implicit_h >= 0) return atom.n_implicit_h;
+  int ev = (int)std::ceil(explicit_valence(m, i));
+  for (int v : allowed_valences(atom.element, atom.charge))
+    if (v >= ev) return v - ev;
+  return 0;
+}
+
+bool sanitize_ok(const Mol& m) {
+  for (int i = 0; i < m.n(); ++i) {
+    auto vals = allowed_valences(m.atoms[i].element, m.atoms[i].charge);
+    if (vals.empty()) return false;
+    double ev = explicit_valence(m, i);
+    if (ev > *std::max_element(vals.begin(), vals.end())) return false;
+    if (m.atoms[i].n_implicit_h >= 0) {
+      if (ev + m.atoms[i].n_implicit_h >
+          *std::max_element(vals.begin(), vals.end()))
+        return false;
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// SMILES parser (mirror of chem/smiles.py)
+// ---------------------------------------------------------------------------
+
+const std::set<std::string> kOrganic = {"B", "C", "N", "O", "P",
+                                        "S", "F", "Cl", "Br", "I"};
+const std::map<char, std::string> kAromaticSym = {
+    {'b', "B"}, {'c', "C"}, {'n', "N"}, {'o', "O"}, {'p', "P"}, {'s', "S"}};
+
+bool parse_bracket(const std::string& body, Atom* atom, bool* aromatic) {
+  size_t i = 0, n = body.size();
+  while (i < n && isdigit(body[i])) ++i;  // isotope: parse + ignore
+  *aromatic = false;
+  std::string sym;
+  if (i + 1 < n && (body.substr(i, 2) == "Cl" || body.substr(i, 2) == "Br" ||
+                    body.substr(i, 2) == "Si" || body.substr(i, 2) == "Se")) {
+    sym = body.substr(i, 2);
+    i += 2;
+  } else if (i + 1 < n && body.substr(i, 2) == "se") {
+    sym = "Se"; *aromatic = true; i += 2;
+  } else if (i < n && kAromaticSym.count(body[i])) {
+    sym = kAromaticSym.at(body[i]); *aromatic = true; ++i;
+  } else if (i < n && isalpha(body[i])) {
+    sym = std::string(1, body[i]); ++i;
+  } else {
+    return false;
+  }
+  atom->element = sym;
+  if (i < n && body[i] == '@') {
+    ++i;
+    if (i < n && body[i] == '@') ++i;
+    while (i < n && isalnum(body[i]) && body[i] != 'H' && body[i] != '+' &&
+           body[i] != '-') ++i;
+  }
+  atom->n_implicit_h = 0;
+  if (i < n && body[i] == 'H') {
+    ++i;
+    atom->n_implicit_h = 1;
+    if (i < n && isdigit(body[i])) { atom->n_implicit_h = body[i] - '0'; ++i; }
+  }
+  atom->charge = 0;
+  while (i < n && (body[i] == '+' || body[i] == '-')) {
+    int sign = body[i] == '+' ? 1 : -1;
+    ++i;
+    if (i < n && isdigit(body[i])) { atom->charge += sign * (body[i] - '0'); ++i; }
+    else atom->charge += sign;
+  }
+  return i == n;
+}
+
+bool needs_double_bond(const Mol& m, int i) {
+  const Atom& atom = m.atoms[i];
+  for (int j : m.neighbors(i)) {
+    int t = m.bond_type(i, j);
+    if (t == 1 || t == 2) return false;
+  }
+  int degree = m.degree(i);
+  int n_h = atom.n_implicit_h > 0 ? atom.n_implicit_h : 0;
+  int sigma = degree + n_h;
+  const std::string& el = atom.element;
+  int q = atom.charge;
+  if (el == "C") return q == 0 || sigma < 3;
+  if (el == "N" || el == "P") {
+    if (q == 1) return sigma <= 3 && n_h + degree <= 3;
+    return sigma <= 2;
+  }
+  if (el == "O" || el == "S" || el == "Se") return q == 1;
+  if (el == "B") return false;
+  return sigma <= 2;
+}
+
+bool kekulize(Mol* m) {
+  std::vector<int> arom;
+  for (int i = 0; i < m->n(); ++i)
+    if (m->atoms[i].aromatic) arom.push_back(i);
+  if (arom.empty()) return true;
+  std::vector<std::pair<int, int>> arom_bonds;
+  for (auto& [a, b, t] : m->bonds)
+    if (t == 3) arom_bonds.push_back({a, b});
+
+  std::map<int, bool> needs;
+  for (int i : arom) needs[i] = needs_double_bond(*m, i);
+
+  std::map<int, std::vector<int>> adj;
+  for (int i : arom) adj[i] = {};
+  for (auto& [a, b] : arom_bonds) {
+    if (adj.count(a) && adj.count(b)) {
+      adj[a].push_back(b);
+      adj[b].push_back(a);
+    }
+  }
+  std::vector<int> need_atoms;
+  for (int i : arom)
+    if (needs[i]) need_atoms.push_back(i);
+  // order: ascending count of needy neighbors (stable, like Python sorted)
+  std::stable_sort(need_atoms.begin(), need_atoms.end(), [&](int x, int y) {
+    auto cnt = [&](int u) {
+      int c = 0;
+      for (int v : adj[u])
+        if (needs.count(v) && needs[v]) ++c;
+      return c;
+    };
+    return cnt(x) < cnt(y);
+  });
+
+  std::map<int, int> matched;
+  std::function<bool(size_t)> backtrack = [&](size_t pos) -> bool {
+    while (pos < need_atoms.size() && matched.count(need_atoms[pos])) ++pos;
+    if (pos == need_atoms.size()) return true;
+    int u = need_atoms[pos];
+    for (int v : adj[u]) {
+      if (needs.count(v) && needs[v] && !matched.count(v)) {
+        matched[u] = v;
+        matched[v] = u;
+        if (backtrack(pos + 1)) return true;
+        matched.erase(u);
+        matched.erase(v);
+      }
+    }
+    return false;
+  };
+  if (!backtrack(0)) return false;
+
+  for (auto& [a, b] : arom_bonds) {
+    int idx = m->bond_index(a, b);
+    auto& [x, y, t] = m->bonds[idx];
+    t = (matched.count(a) && matched[a] == b) ? 1 : 0;
+  }
+  for (int i : arom) m->atoms[i].aromatic = false;
+  return true;
+}
+
+bool parse_smiles(const std::string& smiles, Mol* mol) {
+  std::vector<int> branch;
+  int prev = -1;
+  int pending_bond = -2;  // -2: none
+  std::map<int, std::pair<int, int>> ring_open;  // num -> (atom, bond)
+  std::vector<bool> arom_flags;
+
+  size_t i = 0, n = smiles.size();
+  while (i < n) {
+    char ch = smiles[i];
+    if (ch == '(') {
+      if (prev < 0) return false;
+      branch.push_back(prev);
+      ++i;
+      continue;
+    }
+    if (ch == ')') {
+      if (branch.empty()) return false;
+      prev = branch.back();
+      branch.pop_back();
+      ++i;
+      continue;
+    }
+    if (ch == '-' || ch == '/' || ch == '\\') { pending_bond = 0; ++i; continue; }
+    if (ch == '=') { pending_bond = 1; ++i; continue; }
+    if (ch == '#') { pending_bond = 2; ++i; continue; }
+    if (ch == ':') { pending_bond = 3; ++i; continue; }
+    if (ch == '.') { prev = -1; pending_bond = -2; ++i; continue; }
+    if (isdigit(ch) || ch == '%') {
+      int num;
+      if (ch == '%') {
+        if (i + 2 >= n) return false;
+        num = (smiles[i + 1] - '0') * 10 + (smiles[i + 2] - '0');
+        i += 3;
+      } else {
+        num = ch - '0';
+        ++i;
+      }
+      if (prev < 0) return false;
+      auto it = ring_open.find(num);
+      if (it != ring_open.end()) {
+        auto [open_atom, open_bond] = it->second;
+        ring_open.erase(it);
+        int bond = pending_bond != -2 ? pending_bond : open_bond;
+        if (bond == -2)
+          bond = (arom_flags[open_atom] && arom_flags[prev]) ? 3 : 0;
+        if (open_atom == prev) return false;
+        if (mol->bond_type(open_atom, prev) >= 0) return false;
+        mol->bonds.push_back({open_atom, prev, bond});
+      } else {
+        ring_open[num] = {prev, pending_bond};
+      }
+      pending_bond = -2;
+      continue;
+    }
+    Atom atom;
+    bool aromatic = false;
+    if (ch == '[') {
+      size_t end = smiles.find(']', i);
+      if (end == std::string::npos) return false;
+      if (!parse_bracket(smiles.substr(i + 1, end - i - 1), &atom, &aromatic))
+        return false;
+      i = end + 1;
+    } else {
+      std::string two = smiles.substr(i, 2);
+      if (two == "Cl" || two == "Br") {
+        atom.element = two;
+        atom.n_implicit_h = -1;
+        i += 2;
+      } else if (kOrganic.count(std::string(1, ch))) {
+        atom.element = std::string(1, ch);
+        atom.n_implicit_h = -1;
+        ++i;
+      } else if (kAromaticSym.count(ch)) {
+        atom.element = kAromaticSym.at(ch);
+        atom.n_implicit_h = -1;
+        aromatic = true;
+        ++i;
+      } else {
+        return false;
+      }
+    }
+    atom.aromatic = aromatic;
+    mol->atoms.push_back(atom);
+    arom_flags.push_back(aromatic);
+    int idx = mol->n() - 1;
+    if (prev >= 0) {
+      int bond = pending_bond;
+      if (bond == -2) bond = (arom_flags[prev] && aromatic) ? 3 : 0;
+      if (mol->bond_type(prev, idx) >= 0) return false;
+      mol->bonds.push_back({prev, idx, bond});
+    }
+    prev = idx;
+    pending_bond = -2;
+  }
+  if (!ring_open.empty() || !branch.empty()) return false;
+
+  bool any_arom = false;
+  for (auto& a : mol->atoms) any_arom |= a.aromatic;
+  if (any_arom && !kekulize(mol)) return false;
+  return sanitize_ok(*mol);
+}
+
+// ---------------------------------------------------------------------------
+// rings + canonical ranks (mirror of chem/molecule.py rings + chem/canon.py)
+// ---------------------------------------------------------------------------
+
+std::vector<std::vector<int>> find_rings(const Mol& m) {
+  int n = m.n();
+  std::vector<std::vector<int>> adj(n);
+  for (auto& [a, b, t] : m.bonds) {
+    adj[a].push_back(b);
+    adj[b].push_back(a);
+  }
+  // connected components
+  int n_comp = 0;
+  {
+    std::vector<bool> seen(n, false);
+    for (int s = 0; s < n; ++s) {
+      if (seen[s]) continue;
+      ++n_comp;
+      std::vector<int> stack{s};
+      seen[s] = true;
+      while (!stack.empty()) {
+        int u = stack.back();
+        stack.pop_back();
+        for (int v : adj[u])
+          if (!seen[v]) { seen[v] = true; stack.push_back(v); }
+      }
+    }
+  }
+  int expected = (int)m.bonds.size() - n + n_comp;
+  std::vector<std::vector<int>> out;
+  if (expected <= 0) return out;
+
+  auto shortest_cycle = [&](int a, int b) -> std::vector<int> {
+    std::map<int, int> prevm;
+    prevm[a] = -1;
+    std::vector<int> dq{a};
+    size_t head = 0;
+    while (head < dq.size()) {
+      int u = dq[head++];
+      for (int v : adj[u]) {
+        if (u == a && v == b) continue;
+        if (!prevm.count(v)) {
+          prevm[v] = u;
+          if (v == b) {
+            std::vector<int> path{v};
+            while (path.back() != a) path.push_back(prevm[path.back()]);
+            return path;
+          }
+          dq.push_back(v);
+        }
+      }
+    }
+    return {};
+  };
+
+  // candidates: shortest cycle through each bond (sorted bond order as in
+  // Python, which iterates sorted(self._bonds))
+  std::vector<std::pair<int, int>> keys;
+  for (auto& [a, b, t] : m.bonds)
+    keys.push_back({std::min(a, b), std::max(a, b)});
+  std::sort(keys.begin(), keys.end());
+  std::vector<std::vector<int>> candidates;
+  std::set<std::set<int>> seen_rings;
+  for (auto& [a, b] : keys) {
+    auto ring = shortest_cycle(a, b);
+    if (ring.empty()) continue;
+    std::set<int> key(ring.begin(), ring.end());
+    if (!seen_rings.count(key)) {
+      seen_rings.insert(key);
+      candidates.push_back(ring);
+    }
+  }
+  std::stable_sort(candidates.begin(), candidates.end(),
+                   [](auto& x, auto& y) { return x.size() < y.size(); });
+  std::map<std::pair<int, int>, int> bond_ids;
+  for (size_t k = 0; k < keys.size(); ++k) bond_ids[keys[k]] = (int)k;
+  std::map<uint64_t, std::vector<uint64_t>> unused;
+  // GF(2) independence with 128-bit-safe vector<uint64_t> bitmasks
+  int words = ((int)keys.size() + 63) / 64;
+  std::map<int, std::vector<uint64_t>> pivots;  // pivot bit -> vec
+  auto lowest_bit = [&](const std::vector<uint64_t>& v) -> int {
+    for (int w = 0; w < words; ++w)
+      if (v[w]) return w * 64 + __builtin_ctzll(v[w]);
+    return -1;
+  };
+  for (auto& ring : candidates) {
+    std::vector<uint64_t> vec(words, 0);
+    for (size_t k = 0; k < ring.size(); ++k) {
+      int a = ring[k], b = ring[(k + 1) % ring.size()];
+      int id = bond_ids[{std::min(a, b), std::max(a, b)}];
+      vec[id / 64] |= 1ull << (id % 64);
+    }
+    while (true) {
+      int low = lowest_bit(vec);
+      if (low < 0) break;
+      auto it = pivots.find(low);
+      if (it == pivots.end()) break;
+      for (int w = 0; w < words; ++w) vec[w] ^= it->second[w];
+    }
+    int low = lowest_bit(vec);
+    if (low >= 0) {
+      out.push_back(ring);
+      pivots[low] = vec;
+    }
+    if ((int)out.size() == expected) break;
+  }
+  return out;
+}
+
+std::vector<int> refine(const Mol& m, std::vector<int> classes) {
+  int n = m.n();
+  std::vector<std::vector<std::pair<int, int>>> nbrs(n);
+  for (auto& [a, b, t] : m.bonds) {
+    nbrs[a].push_back({t, b});
+    nbrs[b].push_back({t, a});
+  }
+  while (true) {
+    std::vector<std::pair<int, std::vector<std::pair<int, int>>>> sig(n);
+    for (int i = 0; i < n; ++i) {
+      std::vector<std::pair<int, int>> neigh;
+      for (auto& [t, j] : nbrs[i]) neigh.push_back({t, classes[j]});
+      std::sort(neigh.begin(), neigh.end());
+      sig[i] = {classes[i], neigh};
+    }
+    std::vector<int> order(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int x, int y) { return sig[x] < sig[y]; });
+    std::vector<int> nc(n);
+    int rank = 0;
+    for (int k = 0; k < n; ++k) {
+      if (k > 0 && sig[order[k]] != sig[order[k - 1]]) rank = k;
+      nc[order[k]] = rank;
+    }
+    if (nc == classes) return classes;
+    classes = nc;
+  }
+}
+
+std::vector<int> canonical_ranks(const Mol& m) {
+  int n = m.n();
+  if (n == 0) return {};
+  std::vector<bool> in_ring(n, false);
+  for (auto& ring : find_rings(m))
+    for (int i : ring) in_ring[i] = true;
+  using Inv = std::tuple<int, int, int, int, int, int>;
+  std::vector<Inv> inv(n);
+  for (int i = 0; i < n; ++i) {
+    auto it = kAtomicNum.find(m.atoms[i].element);
+    inv[i] = {m.degree(i), it == kAtomicNum.end() ? 0 : it->second,
+              m.atoms[i].charge, implicit_h(m, i), in_ring[i] ? 1 : 0,
+              m.atoms[i].aromatic ? 1 : 0};
+  }
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int x, int y) { return inv[x] < inv[y]; });
+  std::vector<int> classes(n);
+  int rank = 0;
+  for (int k = 0; k < n; ++k) {
+    if (k > 0 && inv[order[k]] != inv[order[k - 1]]) rank = k;
+    classes[order[k]] = rank;
+  }
+  classes = refine(m, classes);
+
+  while (true) {
+    std::map<int, int> counts;
+    for (int c : classes) counts[c]++;
+    int target = -1;
+    for (auto& [c, k] : counts)
+      if (k > 1) { target = c; break; }
+    if (target < 0) break;
+    int chosen = -1;
+    for (int i = 0; i < n; ++i)
+      if (classes[i] == target) { chosen = i; break; }
+    for (int i = 0; i < n; ++i) {
+      if (classes[i] > target || (classes[i] == target && i != chosen))
+        classes[i] += 1;
+    }
+    classes = refine(m, classes);
+  }
+  std::vector<int> order2(n), ranks(n);
+  for (int i = 0; i < n; ++i) order2[i] = i;
+  std::stable_sort(order2.begin(), order2.end(),
+                   [&](int x, int y) { return classes[x] < classes[y]; });
+  for (int pos = 0; pos < n; ++pos) ranks[order2[pos]] = pos;
+  return ranks;
+}
+
+// ---------------------------------------------------------------------------
+// BFS/DFS ordering (mirror of chem/molgraph.py)
+// ---------------------------------------------------------------------------
+
+std::vector<int> bfs_ordering(const std::vector<std::vector<int>>& nbrs,
+                              int n_nodes, const std::vector<int>& ranking,
+                              int init) {
+  std::vector<int> visited{init};
+  std::set<int> vset{init};
+  std::vector<int> frontier{init};
+  while ((int)visited.size() < n_nodes) {
+    std::vector<int> next_frontier;
+    std::vector<int> sorted_frontier = frontier;
+    std::sort(sorted_frontier.begin(), sorted_frontier.end());
+    for (int node : sorted_frontier) {
+      std::vector<int> fresh;
+      for (int v : nbrs[node]) {
+        if (!vset.count(v) &&
+            std::find(next_frontier.begin(), next_frontier.end(), v) ==
+                next_frontier.end() &&
+            std::find(fresh.begin(), fresh.end(), v) == fresh.end())
+          fresh.push_back(v);
+      }
+      std::stable_sort(fresh.begin(), fresh.end(),
+                       [&](int x, int y) { return ranking[x] > ranking[y]; });
+      for (int v : fresh) next_frontier.push_back(v);
+    }
+    std::vector<int> ordered;
+    for (int v : next_frontier) {
+      if (!vset.count(v)) {
+        vset.insert(v);
+        ordered.push_back(v);
+      }
+    }
+    if (ordered.empty()) return {};  // disconnected
+    for (int v : ordered) visited.push_back(v);
+    frontier = ordered;
+  }
+  return visited;
+}
+
+std::vector<int> dfs_ordering(const std::vector<std::vector<int>>& nbrs,
+                              int n_nodes, const std::vector<int>& ranking,
+                              int init) {
+  std::vector<int> visited{init};
+  std::set<int> vset{init};
+  int last = init;
+  while ((int)visited.size() < n_nodes) {
+    std::vector<int> fresh;
+    for (int v : nbrs[last])
+      if (!vset.count(v)) fresh.push_back(v);
+    if (fresh.empty()) {
+      auto it = std::find(visited.begin(), visited.end(), last);
+      int idx = (int)(it - visited.begin());
+      last = visited[idx - 1 >= 0 ? idx - 1 : 0];
+      continue;
+    }
+    int best = fresh[0];
+    for (int v : fresh)
+      if (ranking[v] > ranking[best]) best = v;
+    visited.push_back(best);
+    vset.insert(best);
+    last = best;
+  }
+  return visited;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Emits the full decoding route for one SMILES.
+// Layout per subgraph r (reference HDF order: full graph + terminate APD
+// first, then progressively truncated):
+//   nodes_out[r]: [max_n, n_feat] int8
+//   edges_out[r]: [max_n, max_n, n_edge] int8
+//   apd_out[r]:   [apd_len] int8
+// Returns number of subgraphs written, 0 if molecule skipped (parse/
+// featurization failure), -1 if cap exceeded, -2 bad args.
+int mk_route(const char* smiles,
+             const char* atom_types_joined,  // e.g. "C;N;O;S;Cl"
+             const int* charges, int n_charges,
+             const int* imp_hs, int n_imp_h,  // n_imp_h==0 -> unused
+             int n_edge_types, int max_n_nodes, int use_canon, int use_bfs,
+             int8_t* nodes_out, int8_t* edges_out, int8_t* apd_out, int cap) {
+  if (!smiles || !atom_types_joined || cap <= 0) return -2;
+  Mol m;
+  if (!parse_smiles(smiles, &m)) return 0;
+  int n = m.n();
+  if (n == 0 || n > max_n_nodes) return 0;
+
+  // vocabulary
+  std::vector<std::string> atom_types;
+  {
+    std::string s(atom_types_joined), cur;
+    for (char c : s) {
+      if (c == ';') { atom_types.push_back(cur); cur.clear(); }
+      else cur.push_back(c);
+    }
+    if (!cur.empty()) atom_types.push_back(cur);
+  }
+  int n_at = (int)atom_types.size();
+  int n_feat = n_at + n_charges + n_imp_h;
+  int f_add_per_node = n_at * n_charges * (n_imp_h > 0 ? n_imp_h : 1)
+                       * n_edge_types;
+  int len_f_add = max_n_nodes * f_add_per_node;
+  int len_f_conn = max_n_nodes * n_edge_types;
+  int apd_len = len_f_add + len_f_conn + 1;
+
+  // featurize
+  std::vector<std::vector<int>> feat(n);  // per-atom one-hot column indices
+  for (int i = 0; i < n; ++i) {
+    int at = -1, ch = -1, ih = -1;
+    for (int k = 0; k < n_at; ++k)
+      if (atom_types[k] == m.atoms[i].element) at = k;
+    for (int k = 0; k < n_charges; ++k)
+      if (charges[k] == m.atoms[i].charge) ch = k;
+    if (n_imp_h > 0) {
+      int h = implicit_h(m, i);
+      for (int k = 0; k < n_imp_h; ++k)
+        if (imp_hs[k] == h) ih = k;
+      if (ih < 0) return 0;
+    }
+    if (at < 0 || ch < 0) return 0;
+    feat[i] = {at, ch};
+    if (n_imp_h > 0) feat[i].push_back(ih);
+  }
+  for (auto& [a, b, t] : m.bonds)
+    if (t >= n_edge_types) return 0;
+
+  // ordering
+  std::vector<int> ranking;
+  if (use_canon) {
+    ranking = canonical_ranks(m);
+  } else {
+    ranking.resize(n);
+    for (int i = 0; i < n; ++i) ranking[i] = i;  // caller shuffles via canon
+  }
+  std::vector<std::vector<int>> nbrs(n);
+  {
+    // neighbor lists in ascending index order (mirror of numpy nonzero)
+    std::vector<std::vector<char>> adjm(n, std::vector<char>(n, 0));
+    for (auto& [a, b, t] : m.bonds) adjm[a][b] = adjm[b][a] = 1;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j)
+        if (adjm[i][j]) nbrs[i].push_back(j);
+  }
+  std::vector<int> ordering;
+  int init = n > 0 ? ranking[0] : 0;
+  if (n > 1) {
+    ordering = use_bfs ? bfs_ordering(nbrs, n, ranking, init)
+                       : dfs_ordering(nbrs, n, ranking, init);
+    if (ordering.empty()) return 0;  // disconnected
+  } else {
+    ordering = {0};
+  }
+
+  // build padded int8 graph state in the new ordering
+  int M = max_n_nodes;
+  std::vector<int8_t> nodes(M * n_feat, 0);
+  std::vector<int8_t> edges(M * M * n_edge_types, 0);
+  std::vector<int> pos(n);  // old index -> new index
+  for (int k = 0; k < n; ++k) pos[ordering[k]] = k;
+  for (int old_i = 0; old_i < n; ++old_i) {
+    int i = pos[old_i];
+    nodes[i * n_feat + feat[old_i][0]] = 1;
+    nodes[i * n_feat + n_at + feat[old_i][1]] = 1;
+    if (n_imp_h > 0) nodes[i * n_feat + n_at + n_charges + feat[old_i][2]] = 1;
+  }
+  auto E = [&](int i, int j, int t) -> int8_t& {
+    return edges[(i * M + j) * n_edge_types + t];
+  };
+  for (auto& [a, b, t] : m.bonds) {
+    E(pos[a], pos[b], t) = 1;
+    E(pos[b], pos[a], t) = 1;
+  }
+
+  int route_len = (int)m.bonds.size() + 2;
+  if (route_len > cap) return -1;
+
+  auto write_state = [&](int r) {
+    std::memcpy(nodes_out + (size_t)r * M * n_feat, nodes.data(),
+                M * n_feat);
+    std::memcpy(edges_out + (size_t)r * M * M * n_edge_types, edges.data(),
+                M * M * n_edge_types);
+  };
+
+  // r = 0: full graph + terminate APD
+  write_state(0);
+  std::memset(apd_out, 0, apd_len);
+  apd_out[apd_len - 1] = 1;
+
+  int n_nodes = n;
+  auto bonded_to_last = [&](int last) {
+    std::vector<int> out;
+    for (int t = 0; t < n_edge_types; ++t)
+      for (int v = 0; v < M; ++v)
+        if (E(v, last, t)) out.push_back(v);
+    return out;
+  };
+
+  for (int r = 1; r < route_len; ++r) {
+    int8_t* apd = apd_out + (size_t)r * apd_len;
+    std::memset(apd, 0, apd_len);
+    int last = n_nodes - 1;
+    // APD of current state (mirror of decoding_apd)
+    {
+      std::vector<int> fv;  // segment indices of last node's features
+      for (int c = 0; c < n_feat; ++c)
+        if (nodes[last * n_feat + c]) fv.push_back(c);
+      // convert to per-segment indices
+      std::vector<int> seg{fv[0]};
+      int offs[2] = {n_at, n_at + n_charges};
+      for (size_t k = 1; k < fv.size(); ++k) seg.push_back(fv[k] - offs[k - 1]);
+
+      auto bonded = bonded_to_last(last);
+      if (!bonded.empty()) {
+        int v = bonded.back();
+        int bt = 0;
+        for (int t = 0; t < n_edge_types; ++t)
+          if (E(v, last, t)) { bt = t; break; }
+        if ((int)bonded.size() > 1) {
+          apd[len_f_add + v * n_edge_types + bt] = 1;
+        } else {
+          // f_add index: [v, atom, charge, (h), bond] row-major
+          int idx = v;
+          idx = idx * n_at + seg[0];
+          idx = idx * n_charges + seg[1];
+          if (n_imp_h > 0) idx = idx * n_imp_h + seg[2];
+          idx = idx * n_edge_types + bt;
+          apd[idx] = 1;
+        }
+      } else {
+        int idx = 0;
+        idx = idx * n_at + seg[0];
+        idx = idx * n_charges + seg[1];
+        if (n_imp_h > 0) idx = idx * n_imp_h + seg[2];
+        idx = idx * n_edge_types + 0;
+        apd[idx] = 1;
+      }
+    }
+    // truncate (mirror of truncate_graph)
+    if (n_nodes == 1) {
+      std::memset(nodes.data() + last * n_feat, 0, n_feat);
+      n_nodes = 0;
+    } else {
+      auto bonded = bonded_to_last(last);
+      if (bonded.size() == 1) {
+        std::memset(nodes.data() + last * n_feat, 0, n_feat);
+        int v = bonded[0];
+        for (int t = 0; t < n_edge_types; ++t) E(v, last, t) = E(last, v, t) = 0;
+        n_nodes -= 1;
+      } else {
+        int v = bonded.back();
+        for (int t = 0; t < n_edge_types; ++t) E(v, last, t) = E(last, v, t) = 0;
+      }
+    }
+    write_state(r);
+  }
+  return route_len;
+}
+
+int mk_version() { return 1; }
+
+}  // extern "C"

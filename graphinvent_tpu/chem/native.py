@@ -1,0 +1,114 @@
+"""ctypes bindings for the native chemistry kernel (csrc/molkit.cc).
+
+The C++ kernel implements the preprocessing hot path (SMILES -> decoding
+route with APD targets) with semantics identical to the pure-Python
+implementation; :func:`native_route` returns None when the library is
+unavailable or the molecule needs a feature the kernel doesn't cover
+(chirality), and callers fall back to Python.
+
+Build (done automatically by ensure_built() when a compiler is present):
+    g++ -O3 -shared -fPIC -std=c++17 -o csrc/libmolkit.so csrc/molkit.cc
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from graphinvent_tpu.config import GraphInventConfig
+
+_LIB = None
+_LIB_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_LIB_PATH = os.path.join(_SRC_DIR, "libmolkit.so")
+
+
+def ensure_built() -> Optional[str]:
+    if os.path.exists(_LIB_PATH):
+        src = os.path.join(_SRC_DIR, "molkit.cc")
+        if os.path.exists(src) and os.path.getmtime(src) <= os.path.getmtime(_LIB_PATH):
+            return _LIB_PATH
+    src = os.path.join(_SRC_DIR, "molkit.cc")
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB_PATH, src],
+            check=True, capture_output=True, timeout=300)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = ensure_built()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mk_route.restype = ctypes.c_int
+        lib.mk_route.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_route(smiles: str, cfg: GraphInventConfig, cap: int = 512
+                 ) -> Optional[List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """Full decoding route for one SMILES via the C++ kernel.
+
+    Returns the same list of (nodes, edges, apd) triples as
+    chem.molgraph.decoding_route, or None when the native path can't handle
+    the request (no library, chirality/aromatic-bond configs, random
+    ordering, parse failure -- caller decides whether to fall back or skip).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if cfg.use_chirality or not cfg.use_canon or cfg.use_aromatic_bonds:
+        return None
+    M, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+    apd_len = cfg.dim_apd
+    nodes = np.zeros((cap, M, Fn), np.int8)
+    edges = np.zeros((cap, M, M, E), np.int8)
+    apds = np.zeros((cap, apd_len), np.int8)
+    charges = (ctypes.c_int * cfg.n_formal_charge)(*cfg.formal_charge)
+    if cfg.n_imp_H:
+        imp = (ctypes.c_int * cfg.n_imp_H)(*cfg.imp_H)
+        n_imp = cfg.n_imp_H
+    else:
+        imp = (ctypes.c_int * 1)(0)
+        n_imp = 0
+    n = lib.mk_route(
+        smiles.encode(), ";".join(cfg.atom_types).encode(),
+        charges, cfg.n_formal_charge, imp, n_imp,
+        E, M, 1, 1 if cfg.decoding_route == "bfs" else 0,
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        apds.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), cap)
+    if n <= 0:
+        return [] if n == 0 else None
+    return [(nodes[r], edges[r], apds[r]) for r in range(n)]

@@ -31,6 +31,7 @@ from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.chem.molecule import Molecule
 from graphinvent_tpu.chem.smiles import mol_from_smiles
 from graphinvent_tpu.chem.molgraph import decoding_route, ordered_graph
+from graphinvent_tpu.chem.native import native_available, native_route
 from graphinvent_tpu.eval.properties import (
     graph_set_properties, merge_ts_properties, write_ts_properties_csv,
 )
@@ -69,6 +70,11 @@ class Preprocessor:
         smiles = read_smiles_file(smi_path)
         self.smiles = smiles[shard_index::num_shards]
         self.rng = random.Random(cfg.seed + shard_index)
+        # native C++ route kernel (csrc/molkit.cc); byte-identical to the
+        # Python path, used when the config is in its supported envelope
+        self.use_native = (native_available() and cfg.use_canon
+                           and not cfg.use_chirality
+                           and not cfg.use_aromatic_bonds)
 
     # ------------------------------------------------------------------
     def _molecules(self, start: int = 0) -> Iterator[Tuple[int, Molecule]]:
@@ -90,26 +96,49 @@ class Preprocessor:
         return total
 
     # ------------------------------------------------------------------
+    def _routes(self, start: int = 0):
+        """Yields (molecule_idx, route, full_nodes, full_edges, n_nodes);
+        route is a list of (nodes, edges, apd).  Uses the native kernel when
+        possible, Python otherwise; unparseable molecules are skipped."""
+        cfg = self.cfg
+        for idx in range(start, len(self.smiles)):
+            s = self.smiles[idx]
+            route = native_route(s, cfg) if self.use_native else None
+            if route is None:          # python path / fallback
+                try:
+                    mol = mol_from_smiles(
+                        s, kekulize_mol=not cfg.use_aromatic_bonds)
+                    route = list(decoding_route(mol, cfg, rng=self.rng))
+                except Exception:
+                    continue
+            if not route:
+                continue
+            full_nodes, full_edges, _ = route[0]
+            n_nodes = int((np.asarray(full_nodes).sum(axis=1) > 0).sum())
+            yield idx, route, full_nodes, full_edges, n_nodes
+
+    # ------------------------------------------------------------------
     def run(self, restart: bool = False) -> str:
         cfg = self.cfg
         chunked = self.h5_path + ".chunked"
         group_size = cfg.batch_size
 
-        total = self.count_subgraphs()
         dims = {"nodes": cfg.dim_nodes, "edges": cfg.dim_edges,
                 "APDs": (cfg.dim_apd,)}
+        cap = [max(2 * group_size, 4096)]   # datasets grow on demand
 
         start_idx, written = 0, 0
         mode = "a" if (restart and os.path.exists(chunked)) else "w"
         with h5py.File(chunked, mode) as hf:
             if mode == "w" or "nodes" not in hf:
                 ds = {name: hf.create_dataset(
-                    name, (total, *dims[name]), chunks=True, dtype=np.int8,
+                    name, (cap[0], *dims[name]), chunks=True, dtype=np.int8,
                     maxshape=(None, *dims[name]))
                     for name in dims}
             else:
                 ds = {name: hf[name] for name in dims}
                 start_idx, written = self._read_restart()
+                cap[0] = ds["nodes"].shape[0]
 
             group: Dict[bytes, int] = {}
             g_nodes: List[np.ndarray] = []
@@ -127,6 +156,10 @@ class Preprocessor:
                 if not g_nodes:
                     return
                 k = len(g_nodes)
+                if written + k > cap[0]:
+                    cap[0] = max(2 * cap[0], written + k)
+                    for name in dims:
+                        ds[name].resize((cap[0], *dims[name]))
                 ds["nodes"][written:written + k] = np.stack(g_nodes)
                 ds["edges"][written:written + k] = np.stack(g_edges)
                 # APD counts are accumulated in int16 and clipped into the
@@ -137,13 +170,12 @@ class Preprocessor:
                 group, g_nodes, g_edges, g_apds = {}, [], [], []
                 self._write_restart(last_mol, written)
 
-            for idx, mol in self._molecules(start_idx):
+            for idx, route, full_nodes, full_edges, n_f in self._routes(start_idx):
                 if self.is_training_set:
-                    nodes_f, edges_f, n_f = ordered_graph(mol, cfg, rng=self.rng)
-                    mol_nodes.append(nodes_f)
-                    mol_edges.append(edges_f)
+                    mol_nodes.append(full_nodes)
+                    mol_edges.append(full_edges)
                     mol_counts.append(n_f)
-                for nodes, edges, apd in decoding_route(mol, cfg, rng=self.rng):
+                for nodes, edges, apd in route:
                     key = nodes.tobytes() + edges.tobytes()
                     pos = group.get(key)
                     if pos is None:

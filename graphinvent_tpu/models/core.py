@@ -70,6 +70,52 @@ def init_mlp(key: jax.Array, in_features: int,
                        for k, i, o in zip(keys, sizes[:-1], sizes[1:])]}
 
 
+def init_stacked_mlp(key: jax.Array, n_stack: int, in_features: int,
+                     hidden_layer_sizes: Sequence[int],
+                     out_features: int) -> Params:
+    """``n_stack`` independent SELU MLPs with identical shapes, stored as
+    stacked weights (E, out, in) so all of them evaluate as ONE batched
+    matmul.  Replaces lists of per-edge-type MLPs (reference:
+    gnn/mpnn.py:238-247,314-333) -- 3x fewer, 3x larger matmuls, much
+    better MXU utilisation.  Per-stack init matches init_mlp exactly."""
+    keys = jax.random.split(key, n_stack)
+    per = [init_mlp(k, in_features, hidden_layer_sizes, out_features)
+           for k in keys]
+    n_layers = len(per[0]["layers"])
+    return {"layers": [
+        {"w": jnp.stack([p["layers"][l]["w"] for p in per]),
+         "b": jnp.stack([p["layers"][l]["b"] for p in per])}
+        for l in range(n_layers)]}
+
+
+def stacked_mlp(params: Params, x: jnp.ndarray, dropout_p: float = 0.0,
+                train: bool = False, rng: Optional[jax.Array] = None
+                ) -> jnp.ndarray:
+    """x (..., I) shared input -> (E, ..., O): every stacked MLP applied to
+    the same input via one einsum per layer."""
+    n_layers = len(params["layers"])
+    if train and dropout_p > 0.0 and rng is not None:
+        keys = jax.random.split(rng, n_layers)
+    else:
+        keys = [None] * n_layers
+    first = params["layers"][0]
+    dt = x.dtype
+    y = jnp.einsum("...i,eoi->e...o", x, first["w"].astype(dt),
+                   preferred_element_type=jnp.float32).astype(dt)
+    y = jax.nn.selu(y + jnp.expand_dims(first["b"].astype(dt),
+                                        tuple(range(1, y.ndim - 1))))
+    if keys[0] is not None:
+        y = alpha_dropout(keys[0], y, dropout_p)
+    for lp, k in zip(params["layers"][1:], keys[1:]):
+        y = jnp.einsum("e...i,eoi->e...o", y, lp["w"].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        y = jax.nn.selu(y + jnp.expand_dims(lp["b"].astype(dt),
+                                            tuple(range(1, y.ndim - 1))))
+        if k is not None:
+            y = alpha_dropout(k, y, dropout_p)
+    return y
+
+
 def mlp(params: Params, x: jnp.ndarray, dropout_p: float = 0.0,
         train: bool = False, rng: Optional[jax.Array] = None) -> jnp.ndarray:
     n_layers = len(params["layers"])

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.models.core import (
-    Params, gru_cell, init_gru_cell, init_mlp, mlp,
+    Params, gru_cell, init_gru_cell, init_mlp, init_stacked_mlp, mlp,
+    stacked_mlp,
 )
 from graphinvent_tpu.models.readout import (
     graph_gather, global_readout, init_graph_gather, init_global_readout,
@@ -248,9 +249,10 @@ def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
 
 def init_ggnn(cfg: GraphInventConfig, key: jax.Array) -> Params:
     keys = jax.random.split(key, cfg.n_edge_features + 3)
-    msg_nns = [init_mlp(keys[e], cfg.hidden_node_features,
-                        [cfg.enn_hidden_dim] * cfg.enn_depth, cfg.message_size)
-               for e in range(cfg.n_edge_features)]
+    msg_nns = init_stacked_mlp(keys[0], cfg.n_edge_features,
+                               cfg.hidden_node_features,
+                               [cfg.enn_hidden_dim] * cfg.enn_depth,
+                               cfg.message_size)
     return {
         "msg_nns": msg_nns,
         "gru": init_gru_cell(keys[-3], cfg.message_size,
@@ -275,9 +277,8 @@ def apply_ggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     keys = _readout_keys(rng, 3)
     hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
     for _ in range(cfg.message_passes):
-        per_type = jnp.stack([
-            mlp(params["msg_nns"][e], hidden, cfg.enn_dropout_p, train, keys[0])
-            for e in range(cfg.n_edge_features)])          # (E, B, N, M)
+        per_type = stacked_mlp(params["msg_nns"], hidden, cfg.enn_dropout_p,
+                               train, keys[0])             # (E, B, N, M)
         messages = _edge_type_contraction(edges, per_type)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
     graph_emb = graph_gather(params["gather"], hidden, nodes, node_mask,
@@ -293,13 +294,13 @@ def apply_ggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
 
 def init_attggnn(cfg: GraphInventConfig, key: jax.Array) -> Params:
     E = cfg.n_edge_features
-    keys = jax.random.split(key, 2 * E + 3)
-    msg_nns = [init_mlp(keys[e], cfg.hidden_node_features,
-                        [cfg.msg_hidden_dim] * cfg.msg_depth, cfg.message_size)
-               for e in range(E)]
-    att_nns = [init_mlp(keys[E + e], cfg.hidden_node_features,
-                        [cfg.att_hidden_dim] * cfg.att_depth, cfg.message_size)
-               for e in range(E)]
+    keys = jax.random.split(key, 5)
+    msg_nns = init_stacked_mlp(keys[0], E, cfg.hidden_node_features,
+                               [cfg.msg_hidden_dim] * cfg.msg_depth,
+                               cfg.message_size)
+    att_nns = init_stacked_mlp(keys[1], E, cfg.hidden_node_features,
+                               [cfg.att_hidden_dim] * cfg.att_depth,
+                               cfg.message_size)
     return {
         "msg_nns": msg_nns,
         "att_nns": att_nns,
@@ -327,12 +328,10 @@ def apply_attggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     dt = hidden.dtype
     adj_mask = adjacency != 0
     for _ in range(cfg.message_passes):
-        emb_per_type = jnp.stack([
-            mlp(params["msg_nns"][e], hidden, cfg.msg_dropout_p, train, keys[0])
-            for e in range(cfg.n_edge_features)])          # (E, B, N, M)
-        att_per_type = jnp.stack([
-            mlp(params["att_nns"][e], hidden, cfg.att_dropout_p, train, keys[1])
-            for e in range(cfg.n_edge_features)])
+        emb_per_type = stacked_mlp(params["msg_nns"], hidden,
+                                   cfg.msg_dropout_p, train, keys[0])
+        att_per_type = stacked_mlp(params["att_nns"], hidden,
+                                   cfg.att_dropout_p, train, keys[1])
         embedding = jnp.einsum("bije,ebjm->bijm", edges, emb_per_type,
                                preferred_element_type=jnp.float32).astype(dt)
         energies = jnp.einsum("bije,ebjm->bijm", edges, att_per_type,

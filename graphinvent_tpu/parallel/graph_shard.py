@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphinvent_tpu.config import GraphInventConfig
-from graphinvent_tpu.models.core import gru_cell, mlp
+from graphinvent_tpu.models.core import gru_cell, mlp, stacked_mlp
 from graphinvent_tpu.models.readout import graph_gather, global_readout
 
 Params = Any
@@ -49,9 +49,7 @@ def ggnn_forward_edge_sharded(cfg: GraphInventConfig, mesh: Mesh,
 
     def message_pass(local_edges, local_hidden, params):
         # local_edges (B, N, N/s, E); local_hidden (B, N/s, H)
-        per_type = jnp.stack([
-            mlp(params["msg_nns"][e], local_hidden)
-            for e in range(cfg.n_edge_features)])          # (E, B, N/s, M)
+        per_type = stacked_mlp(params["msg_nns"], local_hidden)  # (E,B,N/s,M)
         partial = jnp.einsum("bije,ebjm->bim", local_edges, per_type,
                              preferred_element_type=jnp.float32
                              ).astype(local_hidden.dtype)  # (B, N, M)

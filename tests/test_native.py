@@ -1,0 +1,55 @@
+"""Exactness tests for the C++ chemistry kernel (csrc/molkit.cc)."""
+
+import numpy as np
+import pytest
+
+from graphinvent_tpu.config import preset
+from graphinvent_tpu.chem import mol_from_smiles
+from graphinvent_tpu.chem.molgraph import decoding_route
+from graphinvent_tpu.chem.native import native_available, native_route
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="libmolkit.so not built")
+
+SMILES = [
+    "CC1C2N1CC1=C2CC=C1", "CC(C)C1=CCC2C3C=COC123", "C", "CC", "OC1=CC=CC1",
+    "c1ccccc1", "c1ccncc1", "c1cc[nH]c1", "CC(=O)NC", "C[N+](C)(C)C",
+    "CC([O-])=O", "N#CC1CC1", "ClC1=CC=CS1",
+]
+
+
+@pytest.mark.parametrize("smi", SMILES)
+def test_native_route_matches_python(smi):
+    cfg = preset("GGNN")
+    py = list(decoding_route(mol_from_smiles(smi), cfg))
+    cc = native_route(smi, cfg)
+    assert cc is not None and len(cc) == len(py)
+    for (n1, e1, a1), (n2, e2, a2) in zip(py, cc):
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(e1, e2)
+        np.testing.assert_array_equal(a1, a2)
+
+
+def test_native_route_with_implicit_h_config():
+    cfg = preset("GGNN", ignore_H=False)
+    for smi in ["CCO", "c1cc[nH]c1", "CC(=O)N"]:
+        py = list(decoding_route(mol_from_smiles(smi), cfg))
+        cc = native_route(smi, cfg)
+        assert cc is not None and len(cc) == len(py)
+        for (n1, e1, a1), (n2, e2, a2) in zip(py, cc):
+            np.testing.assert_array_equal(n1, n2)
+            np.testing.assert_array_equal(a1, a2)
+
+
+def test_native_skips_unparseable():
+    cfg = preset("GGNN")
+    assert native_route("not_a_smiles(", cfg) == []
+    # out-of-vocabulary atom -> skip
+    assert native_route("CCB", cfg) == []
+    # too many atoms -> skip
+    assert native_route("C" * 20, cfg) == []
+
+
+def test_native_declines_unsupported_configs():
+    cfg = preset("GGNN", use_chirality=True)
+    assert native_route("CC", cfg) is None

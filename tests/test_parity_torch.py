@@ -153,7 +153,9 @@ def test_ggnn_dense_matches_edge_list_torch():
 
     tm = TorchGGNN()
     for e in range(3):
-        _copy_mlp(tm.msg_nns[e], params["msg_nns"][e])
+        per_type = {"layers": [{"w": lp["w"][e], "b": lp["b"][e]}
+                               for lp in params["msg_nns"]["layers"]]}
+        _copy_mlp(tm.msg_nns[e], per_type)
     with torch.no_grad():
         tm.gru.weight_ih.copy_(_t(params["gru"]["w_ih"]))
         tm.gru.weight_hh.copy_(_t(params["gru"]["w_hh"]))

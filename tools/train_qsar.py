@@ -1,0 +1,55 @@
+"""Train a QSAR activity classifier for RL scoring.
+
+The reference ships a pre-trained sklearn SVC pickled over RDKit ECFP4
+fingerprints (data/fine-tuning/qsar_model.pickle, loaded at
+constants.py:250-256).  Our fingerprints hash differently, so activity
+models are (re)trained here on labelled SMILES:
+
+    python tools/train_qsar.py actives.smi inactives.smi out.pickle
+
+writes {"classifier_sv": svc} in the reference's pickle layout, consumable
+by eval/scoring.py.
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from graphinvent_tpu.chem import mol_from_smiles
+from graphinvent_tpu.chem.fingerprint import bulk_fingerprints
+from graphinvent_tpu.data.preprocess import read_smiles_file
+
+
+def main(actives_path: str, inactives_path: str, out_path: str) -> None:
+    from sklearn.svm import SVC
+
+    def fps(path):
+        mols = []
+        for smi in read_smiles_file(path):
+            try:
+                mols.append(mol_from_smiles(smi))
+            except Exception:
+                pass
+        return bulk_fingerprints(mols)
+
+    X_act = fps(actives_path)
+    X_inact = fps(inactives_path)
+    X = np.concatenate([X_act, X_inact])
+    y = np.concatenate([np.ones(len(X_act)), np.zeros(len(X_inact))])
+    clf = SVC(probability=True, kernel="rbf", C=1.0, gamma="scale")
+    clf.fit(X, y)
+    with open(out_path, "wb") as fh:
+        pickle.dump({"classifier_sv": clf}, fh)
+    print(f"trained on {len(X)} molecules "
+          f"({len(X_act)} active), wrote {out_path}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 4:
+        sys.exit("usage: train_qsar.py <actives.smi> <inactives.smi> <out.pickle>")
+    main(*sys.argv[1:])
