@@ -123,6 +123,9 @@ def graph_to_mol(nodes: np.ndarray, edges: np.ndarray, n_nodes: int,
     for a, b, t in zip(ii.tolist(), jj.tolist(), tt.tolist()):
         if a < b:
             mol.add_bond(a, b, int(t))
+            if int(t) == 3:     # aromatic bond (use_aromatic_bonds mode)
+                mol.atoms[a].aromatic = True
+                mol.atoms[b].aromatic = True
     return mol
 
 
