@@ -51,21 +51,26 @@ def main(batch_size=1000, dtype="bfloat16"):
     print(f"batch={batch_size} dtype={dtype}")
 
     def scan30(body):
+        # chain the carry INTO the body's inputs so XLA can't hoist the
+        # loop-invariant computation out of the scan
         @jax.jit
         def run(*args):
             def step(c, _):
-                return c, body(*args)
-            _, outs = jax.lax.scan(step, 0, jnp.arange(30))
-            return outs
+                out = body(c, *args)
+                return jnp.sum(out).astype(jnp.float32) * 1e-30, None
+            c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(30))
+            return c
         return run
 
     # full forward
-    fwd = scan30(lambda p: apply_model(cfg, p, nodes, edges))
-    timed("forward", fwd, params)
+    timed("forward", scan30(
+        lambda c, p: apply_model(cfg, p, nodes + c.astype(dt_c), edges)),
+        params)
 
     # message passes only
-    def messages_only(p):
-        hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
+    def messages_only(c, p):
+        hidden, adjacency, degree, node_mask = _prepare(
+            cfg, nodes + c.astype(dt_c), edges)
         for _ in range(cfg.message_passes):
             per_type = stacked_mlp(p["msg_nns"], hidden)
             m = _edge_type_contraction(edges, per_type)
@@ -79,27 +84,46 @@ def main(batch_size=1000, dtype="bfloat16"):
                          cfg.hidden_node_features), dt_c)
     gemb = jnp.zeros((batch_size, cfg.gather_width), dt_c)
     timed("APD head", scan30(
-        lambda p: global_readout(p["apd"], hidden0, gemb)), params)
+        lambda c, p: global_readout(p["apd"], hidden0 + c.astype(dt_c),
+                                    gemb)), params)
 
     # gather
     nm = jnp.sum(edges, axis=(2, 3)) != 0
     timed("graph gather", scan30(
-        lambda p: graph_gather(p["gather"], hidden0, nodes, nm,
-                               cfg.big_positive)), params)
+        lambda c, p: graph_gather(p["gather"], hidden0 + c.astype(dt_c),
+                                  nodes, nm, cfg.big_positive)), params)
 
     # loss+grad (fwd+bwd)
-    def lg(p):
+    def lg(c, p):
         def loss(p):
-            out = apply_model(cfg, p, nodes, edges)
+            out = apply_model(cfg, p, nodes + c.astype(dt_c), edges)
             return apd_kl_loss(out.astype(jnp.float32), apds)
-        return jax.value_and_grad(loss)(p)[0]
+        l, g = jax.value_and_grad(loss)(p)
+        return l + jnp.sum(g["gru"]["b_ih"])
     timed("forward+backward", scan30(lg), params)
 
     # adam only
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     opt = adam_init(params)
     timed("adam update", scan30(
-        lambda p: adam_update(grads, opt, p, 1e-4, 0.9)[0]), params)
+        lambda c, p: adam_update(
+            jax.tree_util.tree_map(lambda g: g + c, grads),
+            opt, p, 1e-4, 0.9)[0]["gru"]["b_ih"]), params)
+
+    # fused pallas message passes
+    try:
+        from graphinvent_tpu.ops.pallas_message import fused_message_pass
+
+        def fused_passes(c, p):
+            hidden, adjacency, degree, node_mask = _prepare(
+                cfg, nodes + c.astype(dt_c), edges)
+            for _ in range(cfg.message_passes):
+                hidden = fused_message_pass(cfg, p, hidden, edges, node_mask,
+                                            tile_b=125)
+            return hidden
+        timed("message passes (pallas)", scan30(fused_passes), params)
+    except Exception as exc:
+        print("pallas message pass failed:", type(exc).__name__, exc)
 
 
 if __name__ == "__main__":
