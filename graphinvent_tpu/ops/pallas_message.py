@@ -51,6 +51,9 @@ def fused_message_pass(cfg: GraphInventConfig, params: Params,
     M = cfg.message_size
     if B % tile_b != 0:
         raise ValueError(f"batch {B} not divisible by tile_b {tile_b}")
+    if tile_b % 8 != 0 and tile_b != B:
+        raise ValueError(f"tile_b {tile_b} must be a multiple of 8 "
+                         "(TPU sublane tiling of the (tile_b, N) mask block)")
 
     layer_ws = [lp["w"] for lp in params["msg_nns"]["layers"]]   # (E, O, I)
     layer_bs = [lp["b"] for lp in params["msg_nns"]["layers"]]   # (E, O)

@@ -118,7 +118,8 @@ class Workflow:
             DeviceDataset, epoch_permutation, make_epoch_eval_fn,
             make_epoch_nll_fn, make_epoch_train_fn,
         )
-        use_device = (DeviceDataset.fits(train_ds)
+        multi_device = cfg.dp_devices > 1 or cfg.mp_devices > 1
+        use_device = (not multi_device and DeviceDataset.fits(train_ds)
                       and DeviceDataset.fits(valid_ds))
         rng_np = np.random.default_rng(cfg.seed)
         if use_device:
@@ -159,7 +160,20 @@ class Workflow:
             valid_loader = BlockLoader(valid_ds, cfg.batch_size,
                                        cfg.block_size, shuffle=False,
                                        seed=cfg.seed)
-            train_step = make_train_step(cfg, schedule)
+            if multi_device:
+                from graphinvent_tpu.parallel import (
+                    make_mesh, make_sharded_train_step,
+                )
+                mesh = make_mesh(cfg)
+                print(f"-- Sharded training over mesh {dict(mesh.shape)}.",
+                      flush=True)
+                train_step, params, place_batch = make_sharded_train_step(
+                    cfg, schedule, mesh, params)
+                opt_state = adam_init(params)
+            else:
+                train_step = make_train_step(cfg, schedule)
+                place_batch = lambda b: {k: jnp.asarray(v)
+                                         for k, v in b.items()}
             eval_step = make_eval_step(cfg)
             nll_step = make_likelihood_step(cfg)
             loaders = {"valid": valid_loader, "train": train_loader}
@@ -169,7 +183,7 @@ class Workflow:
                 train_loader.set_epoch(epoch)
                 losses = []
                 for batch in train_loader:
-                    b = {k: jnp.asarray(v) for k, v in batch.items()}
+                    b = place_batch(batch)
                     rng = jax.random.fold_in(self.key, int(opt_state.step))
                     params, opt_state, loss = train_step(params, opt_state,
                                                          b, rng)

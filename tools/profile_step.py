@@ -119,7 +119,7 @@ def main(batch_size=1000, dtype="bfloat16"):
                 cfg, nodes + c.astype(dt_c), edges)
             for _ in range(cfg.message_passes):
                 hidden = fused_message_pass(cfg, p, hidden, edges, node_mask,
-                                            tile_b=125)
+                                            tile_b=200)
             return hidden
         timed("message passes (pallas)", scan30(fused_passes), params)
     except Exception as exc:
