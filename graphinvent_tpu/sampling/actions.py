@@ -4,6 +4,11 @@ Rebuilds GraphGenerator.get_actions / get_invalid_actions
 (GraphGenerator.py:467-657) as pure array ops over the whole batch so the
 sampling loop can live inside ``jax.lax.while_loop``.
 
+TPU note: no gathers or scatters with per-row index vectors appear anywhere
+here -- XLA lowers those to serial update loops on TPU (~100 us per row).
+All indexed reads/writes are expressed as one-hot contractions instead,
+which stay on the VPU/MXU.
+
 The seven invalidity classes (GraphGenerator.py:599-646):
   1. add to a node index >= n_nodes (non-empty graph)
   2. add to node != 0 on an empty graph
@@ -22,6 +27,18 @@ import jax
 import jax.numpy as jnp
 
 from graphinvent_tpu.config import GraphInventConfig
+
+
+def onehot(idx: jnp.ndarray, size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B,) int -> (B, size) one-hot without gather/scatter."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], size), 1)
+    return (iota == idx[:, None]).astype(dtype)
+
+
+def select_rows(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values (B, K), idx (B,) -> (B,) values[b, idx[b]] via one-hot dot."""
+    oh = onehot(idx, values.shape[1], values.dtype)
+    return jnp.sum(values * oh, axis=1)
 
 
 class DecodedActions(NamedTuple):
@@ -99,10 +116,12 @@ def decode_actions(cfg: GraphInventConfig, action_idx: jnp.ndarray,
     inv_conn = is_conn & (conn_to >= n_nodes)
     inv_conn_empty = is_conn & empty
     inv_sconn = is_conn & (conn_to == conn_from)
+    # duplicate edge: adjacency[b, conn_to, conn_from] >= 1 read without a
+    # gather -- contract with one-hot row/col selectors
     adjacency = jnp.sum(edges, axis=-1)           # (B,N,N)
-    conn_to_c = jnp.clip(conn_to, 0, N - 1)
-    conn_from_c = jnp.clip(conn_from, 0, N - 1)
-    existing = adjacency[jnp.arange(B), conn_to_c, conn_from_c] >= 1
+    oh_to = onehot(jnp.clip(conn_to, 0, N - 1), N, adjacency.dtype)
+    oh_from = onehot(jnp.clip(conn_from, 0, N - 1), N, adjacency.dtype)
+    existing = jnp.einsum("bij,bi,bj->b", adjacency, oh_to, oh_from) >= 1
     inv_dconn = is_conn & existing
 
     invalid = (inv_add | inv_add_empty | inv_madd | inv_conn
@@ -119,7 +138,7 @@ def apply_actions(cfg: GraphInventConfig, acts: DecodedActions,
                   nodes: jnp.ndarray, edges: jnp.ndarray,
                   n_nodes: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Applies add/connect actions in place (functional .at updates).
+    """Applies add/connect actions via one-hot outer products (no scatters).
 
     Mirrors GraphGenerator.apply_actions (GraphGenerator.py:211-338):
     actions are applied to *every* graph that sampled add/conn, including
@@ -128,45 +147,45 @@ def apply_actions(cfg: GraphInventConfig, acts: DecodedActions,
     zeroes the offending index instead, GraphGenerator.py:568)."""
     B = nodes.shape[0]
     N = cfg.max_n_nodes
-    batch = jnp.arange(B)
+    Fn = cfg.n_node_features
     dt = nodes.dtype
 
-    # ---- add: node features ------------------------------------------------
-    row = jnp.clip(acts.bond_from, 0, N - 1)
-    add_m = acts.is_add
-    feat_cols = [acts.atom_type,
-                 cfg.n_atom_types + acts.charge]
+    add_m = acts.is_add.astype(dt)
+    row_oh = onehot(jnp.clip(acts.bond_from, 0, N - 1), N, dt)    # (B, N)
+
+    # ---- add: node features as sum of one-hot feature columns ------------
+    feat_cols = [acts.atom_type, cfg.n_atom_types + acts.charge]
     off = cfg.n_atom_types + cfg.n_formal_charge
     if cfg.n_imp_H:
         feat_cols.append(off + acts.imp_h)
         off += cfg.n_imp_H
     if cfg.use_chirality:
         feat_cols.append(off + acts.chiral)
-    for col in feat_cols:
-        nodes = nodes.at[batch, row, col].add(
-            jnp.where(add_m, 1.0, 0.0).astype(dt))
-    # (``add`` not ``set``: masked rows add 0.0 -- no-op without a select)
+    col_oh = sum(onehot(c, Fn, dt) for c in feat_cols)            # (B, Fn)
+    nodes = nodes + add_m[:, None, None] * row_oh[:, :, None] * col_oh[:, None, :]
 
     # ---- add: bond to the existing graph (skip on empty graphs) ----------
-    bond_m = add_m & (n_nodes > 0)
-    v = jnp.clip(acts.add_to, 0, N - 1)
-    t = acts.add_bond_type
-    one = jnp.where(bond_m, 1.0, 0.0).astype(dt)
-    edges = edges.at[batch, v, row, t].add(one)
-    edges = edges.at[batch, row, v, t].add(one)
+    bond_m = (acts.is_add & (n_nodes > 0)).astype(dt)
+    v_oh = onehot(jnp.clip(acts.add_to, 0, N - 1), N, dt)
+    t_oh = onehot(acts.add_bond_type, cfg.n_edge_features, dt)
+    add_edge = (bond_m[:, None, None, None]
+                * v_oh[:, :, None, None] * row_oh[:, None, :, None]
+                * t_oh[:, None, None, :])
+    edges = edges + add_edge + jnp.swapaxes(add_edge, 1, 2)
 
     # ---- connect ----------------------------------------------------------
-    conn_m = acts.is_conn
-    cf = jnp.clip(acts.conn_from, 0, N - 1)
-    ct = jnp.clip(acts.conn_to, 0, N - 1)
-    tb = acts.conn_bond_type
-    onec = jnp.where(conn_m, 1.0, 0.0).astype(dt)
-    edges = edges.at[batch, cf, ct, tb].add(onec)
-    edges = edges.at[batch, ct, cf, tb].add(onec)
+    conn_m = acts.is_conn.astype(dt)
+    cf_oh = onehot(jnp.clip(acts.conn_from, 0, N - 1), N, dt)
+    ct_oh = onehot(jnp.clip(acts.conn_to, 0, N - 1), N, dt)
+    tb_oh = onehot(acts.conn_bond_type, cfg.n_edge_features, dt)
+    conn_edge = (conn_m[:, None, None, None]
+                 * cf_oh[:, :, None, None] * ct_oh[:, None, :, None]
+                 * tb_oh[:, None, None, :])
+    edges = edges + conn_edge + jnp.swapaxes(conn_edge, 1, 2)
 
-    n_nodes = n_nodes + jnp.where(add_m, 1, 0).astype(n_nodes.dtype)
+    n_nodes = n_nodes + acts.is_add.astype(n_nodes.dtype)
     # duplicate writes can push a cell past 1 only for invalid actions,
-    # which are reset immediately; clamp for safety
+    # which are reset/discarded immediately; clamp for safety
     edges = jnp.minimum(edges, 1.0)
     nodes = jnp.minimum(nodes, 1.0)
     return nodes, edges, n_nodes

@@ -2,21 +2,27 @@
 
 Rebuilds GraphGenerator (GraphGenerator.py:21-657) as a single jitted
 ``jax.lax.while_loop``: the whole batch state -- node/edge tensors, node
-counts, per-action likelihood accumulators, done-graph output buffers and
-the PRNG key -- is the loop carry, and one model forward runs per action
-round.  Termination is data-dependent (``n_done < batch_size``) exactly like
-the reference's Python while loop (GraphGenerator.py:118-158), but stays on
-device; RDKit-style chemistry (validity, SMILES) runs on host only after
-the loop exits.
+counts, per-action log-likelihood slots, done flags and the PRNG key -- is
+the loop carry, and one model forward runs per action round.  Chemistry
+(validity, SMILES) runs on host only after the loop exits.
 
-Design deltas vs the reference (SURVEY.md §7):
+Design deltas vs the reference (SURVEY.md §7 + TPU profiling):
   * no dummy graph pinned at slot 0 (GraphGenerator.py:387-423) -- the dense
     MPNN formulation handles all-empty graphs natively;
-  * action probabilities are sampled with ``jax.random.categorical`` on the
-    APD logits (equivalent to Multinomial on the softmax);
-  * per-graph action-slot counters replace the global generation-round index
-    (the reference overflows its likelihood buffer after 2*max_n_nodes
-    rounds); a graph exceeding its slot budget is force-invalidated;
+  * no slot recycling / finished-graph output buffers
+    (GraphGenerator.py:340-465).  The reference recycles slots so one call
+    can yield more than batch_size graphs, then truncates back to
+    batch_size; here each slot builds exactly one graph and freezes when it
+    terminates.  The returned contract is identical (batch_size graphs,
+    properly_terminated flags, per-action likelihoods) and the copy-out
+    scatters -- which lower to ~100us/row serial loops on TPU -- disappear
+    entirely.  All indexed reads/writes in the loop are one-hot
+    contractions (see sampling/actions.py);
+  * action sampled with ``jax.random.categorical`` on the APD logits
+    (equivalent to Multinomial on the softmax);
+  * a graph exceeding its likelihood-slot budget (2*max_n_nodes actions,
+    the reference's buffer size) is force-invalidated instead of silently
+    overflowing (GraphGenerator.py:172);
   * final log-likelihood is the principled sum of per-action log
     probabilities.  (The reference computes ``log(sum_t p_t)`` --
     GraphGenerator.py:81-83 -- which we treat as a latent bug and do not
@@ -35,7 +41,9 @@ import numpy as np
 
 from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.models import apply_model
-from graphinvent_tpu.sampling.actions import apply_actions, decode_actions
+from graphinvent_tpu.sampling.actions import (
+    apply_actions, decode_actions, onehot, select_rows,
+)
 from graphinvent_tpu.chem.molgraph import MolGraph
 
 Params = Any
@@ -64,9 +72,7 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
     Fn = cfg.n_node_features
     E = cfg.n_edge_features
     L = cfg.max_n_nodes * 2            # likelihood slots (reference sizing)
-    OUT = 2 * B                        # finished-graph buffer (reference sizing)
-    max_rounds = 4 * L + 16            # hard safety bound; every live graph is
-    #                                   force-invalidated within L rounds
+    max_rounds = L + 4                 # every live graph terminates within L
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     init = dict(
@@ -74,85 +80,75 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         nodes=jnp.zeros((B, N, Fn), dt),
         edges=jnp.zeros((B, N, N, E), dt),
         n_nodes=jnp.zeros((B,), jnp.int32),
-        t=jnp.zeros((B,), jnp.int32),            # per-graph action slot
-        ll=jnp.zeros((B, L), jnp.float32),       # log p per action (live)
-        acts=jnp.zeros((B, L), jnp.int32),       # action ids (live)
-        out_nodes=jnp.zeros((OUT, N, Fn), dt),
-        out_edges=jnp.zeros((OUT, N, N, E), dt),
-        out_n_nodes=jnp.zeros((OUT,), jnp.int32),
-        out_ll=jnp.zeros((OUT, L), jnp.float32),
-        out_acts=jnp.zeros((OUT, L), jnp.int32),
-        out_term=jnp.zeros((OUT,), jnp.int32),
-        out_t=jnp.zeros((OUT,), jnp.int32),
-        n_done=jnp.zeros((), jnp.int32),
+        t=jnp.zeros((B,), jnp.int32),            # actions taken per graph
+        ll=jnp.zeros((B, L), jnp.float32),       # log p per action
+        acts=jnp.zeros((B, L), jnp.int32),       # action ids
+        done=jnp.zeros((B,), jnp.bool_),
+        term=jnp.zeros((B,), jnp.bool_),         # properly terminated
         rounds=jnp.zeros((), jnp.int32),
     )
 
     def cond(c):
-        return (c["n_done"] < B) & (c["rounds"] < max_rounds)
+        return (~jnp.all(c["done"])) & (c["rounds"] < max_rounds)
 
     def body(c):
         key, sub = jax.random.split(c["key"])
         logits = apply_fn(params, c["nodes"], c["edges"]).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=1)
         action = jax.random.categorical(sub, logits, axis=1)
-        logp_sel = logp[jnp.arange(B), action]
+        logp_sel = select_rows(logp, action)
 
+        live = ~c["done"]
         acts = decode_actions(cfg, action, c["n_nodes"], c["edges"])
         overflow = c["t"] >= (L - 1)
-        invalid = (acts.invalid | (overflow & ~acts.is_term))
-        done_term = acts.is_term
-        done = done_term | invalid
+        invalid = live & (acts.invalid | (overflow & ~acts.is_term))
+        done_term = live & acts.is_term & ~invalid
 
-        # record this action's log-likelihood + id in the live slot
-        slot = jnp.clip(c["t"], 0, L - 1)
-        ll = c["ll"].at[jnp.arange(B), slot].set(logp_sel)
-        acts_rec = c["acts"].at[jnp.arange(B), slot].set(action.astype(jnp.int32))
-        t = c["t"] + 1
+        # record this action's log-likelihood + id (one-hot slot update)
+        slot_oh = onehot(jnp.clip(c["t"], 0, L - 1), L)
+        rec = live.astype(jnp.float32)[:, None] * slot_oh
+        ll = c["ll"] * (1.0 - rec) + rec * logp_sel[:, None]
+        acts_rec = jnp.where(rec > 0, action[:, None], c["acts"])
+        t = c["t"] + live.astype(jnp.int32)
 
-        # ---- copy finished graphs to the output buffers -------------------
-        # ordering within a round: properly-terminated first, then invalid
-        # (reference: GraphGenerator.py:127-137)
-        term_i = done_term.astype(jnp.int32)
-        inv_i = invalid.astype(jnp.int32)
-        n_term = jnp.sum(term_i)
-        pos_term = jnp.cumsum(term_i) - 1
-        pos_inv = n_term + jnp.cumsum(inv_i) - 1
-        pos = jnp.where(done_term, c["n_done"] + pos_term,
-                        jnp.where(invalid, c["n_done"] + pos_inv, OUT))
-        # (pos == OUT for live graphs -> dropped by scatter mode="drop")
-        out_nodes = c["out_nodes"].at[pos].set(c["nodes"], mode="drop")
-        out_edges = c["out_edges"].at[pos].set(c["edges"], mode="drop")
-        out_n = c["out_n_nodes"].at[pos].set(c["n_nodes"], mode="drop")
-        out_ll = c["out_ll"].at[pos].set(ll, mode="drop")
-        out_acts = c["out_acts"].at[pos].set(acts_rec, mode="drop")
-        out_term = c["out_term"].at[pos].set(term_i, mode="drop")
-        out_t = c["out_t"].at[pos].set(t, mode="drop")
-        n_done = c["n_done"] + jnp.sum(done.astype(jnp.int32))
-
-        # ---- apply actions, then reset finished slots ---------------------
+        # apply actions only to live, continuing graphs
+        cont = live & ~invalid & ~acts.is_term
+        acts_m = acts._replace(is_add=acts.is_add & cont,
+                               is_conn=acts.is_conn & cont)
         nodes, edges, n_nodes = apply_actions(
-            cfg, acts, c["nodes"], c["edges"], c["n_nodes"])
-        keep = ~done
-        nodes = jnp.where(keep[:, None, None], nodes, 0.0)
-        edges = jnp.where(keep[:, None, None, None], edges, 0.0)
-        n_nodes = jnp.where(keep, n_nodes, 0)
-        ll = jnp.where(keep[:, None], ll, 0.0)
-        acts_rec = jnp.where(keep[:, None], acts_rec, 0)
-        t = jnp.where(keep, t, 0)
+            cfg, acts_m, c["nodes"], c["edges"], c["n_nodes"])
 
+        done = c["done"] | done_term | invalid
+        term = c["term"] | done_term
         return dict(key=key, nodes=nodes, edges=edges, n_nodes=n_nodes,
-                    t=t, ll=ll, acts=acts_rec, out_nodes=out_nodes,
-                    out_edges=out_edges, out_n_nodes=out_n, out_ll=out_ll,
-                    out_acts=out_acts, out_term=out_term,
-                    out_t=out_t, n_done=n_done,
+                    t=t, ll=ll, acts=acts_rec, done=done, term=term,
                     rounds=c["rounds"] + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    return (final["out_nodes"][:B], final["out_edges"][:B],
-            final["out_n_nodes"][:B], final["out_ll"][:B],
-            final["out_acts"][:B], final["out_term"][:B], final["out_t"][:B],
-            final["rounds"])
+    return (final["nodes"].astype(jnp.uint8), final["edges"].astype(jnp.uint8),
+            final["n_nodes"], final["ll"], final["acts"],
+            final["term"].astype(jnp.uint8), final["t"], final["rounds"])
+
+
+def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t):
+    """Packs all sampler outputs into ONE uint8 buffer: device->host
+    transfers pay a fixed ~tens-of-ms latency each on tunneled TPU setups,
+    so a single fetch beats eight; graphs are 0/1 so uint8 also cuts
+    bandwidth 4x.  (Kept as a separate jit: fusing this into the while-loop
+    program sends the TPU compiler into a pathological 10-minute compile.)"""
+    B = nodes.shape[0]
+    u8 = lambda x: x.reshape(B, -1).astype(jnp.uint8)
+    ll_bytes = jax.lax.bitcast_convert_type(ll, jnp.uint8).reshape(B, -1)
+    acts16 = acts.astype(jnp.uint16)
+    return jnp.concatenate([
+        u8(nodes), u8(edges),
+        n_nodes.astype(jnp.uint8)[:, None],
+        term.astype(jnp.uint8)[:, None],
+        t.astype(jnp.uint8)[:, None],
+        (acts16 & 0xFF).astype(jnp.uint8),
+        (acts16 >> 8).astype(jnp.uint8),
+        ll_bytes,
+    ], axis=1)
 
 
 class GraphSampler:
@@ -168,21 +164,37 @@ class GraphSampler:
         self._jitted = jax.jit(
             lambda params, key: _sample_loop(cfg, params, key, batch_size,
                                              apply_fn))
+        self._pack = jax.jit(_pack_outputs)
 
     def sample(self, params: Params, key: jax.Array,
                quiet: bool = False) -> SampleResult:
+        cfg = self.cfg
+        B = self.batch_size
+        N, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+        L = cfg.max_n_nodes * 2
         t0 = time.time()
-        (nodes, edges, n_nodes, ll, acts, term, t_count, rounds) = \
-            jax.block_until_ready(self._jitted(params, key))
+        (d_nodes, d_edges, d_n, d_ll, d_acts, d_term, d_t, rounds) = \
+            self._jitted(params, key)
+        packed = self._pack(d_nodes, d_edges, d_n, d_ll, d_acts, d_term, d_t)
+        packed = np.asarray(packed)           # single device->host transfer
         elapsed = time.time() - t0
 
-        nodes = np.asarray(nodes, np.float32)
-        edges = np.asarray(edges, np.float32)
-        n_nodes = np.asarray(n_nodes)
-        ll = np.asarray(ll)
-        acts = np.asarray(acts)
-        term = np.asarray(term)
-        t_count = np.asarray(t_count)
+        o = 0
+        def take(n):
+            nonlocal o
+            out = packed[:, o:o + n]
+            o += n
+            return out
+        nodes = take(N * Fn).reshape(B, N, Fn).astype(np.float32)
+        edges = take(N * N * E).reshape(B, N, N, E).astype(np.float32)
+        n_nodes = take(1)[:, 0].astype(np.int32)
+        term = take(1)[:, 0].astype(np.int8)
+        t_count = take(1)[:, 0].astype(np.int32)
+        acts_lo = take(L).astype(np.uint16)
+        acts_hi = take(L).astype(np.uint16)
+        acts = (acts_lo | (acts_hi << 8)).astype(np.int32)
+        ll = take(L * 4).reshape(B, L, 4).astype(np.uint8)
+        ll = ll.view(np.uint32).reshape(B, L).view(np.float32)
 
         graphs = [MolGraph(self.cfg, nodes[i], edges[i], int(n_nodes[i]))
                   for i in range(self.batch_size)]

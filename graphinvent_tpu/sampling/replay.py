@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.models import apply_model
-from graphinvent_tpu.sampling.actions import apply_actions, decode_actions
+from graphinvent_tpu.sampling.actions import (
+    apply_actions, decode_actions, select_rows,
+)
 
 Params = Any
 
@@ -46,7 +48,7 @@ def trajectory_loglik(cfg: GraphInventConfig, params: Params,
         logits = apply_fn(params, nodes, edges).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=1)
         a = actions[:, s]
-        chosen = logp[jnp.arange(B), a]
+        chosen = select_rows(logp, a)      # gather-free (TPU scatter cost)
         acc = acc + jnp.where(active, chosen, 0.0)
 
         acts = decode_actions(cfg, a, n_nodes, edges)
