@@ -56,9 +56,10 @@ def main() -> None:
 
     nodes_np, edges_np, apds_np = synthetic_batch(cfg.batch_size)
     edges_per_batch = float(edges_np.sum() / 2)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     batch = {
-        "nodes": jnp.asarray(nodes_np),
-        "edges": jnp.asarray(edges_np),
+        "nodes": jnp.asarray(nodes_np, dt),
+        "edges": jnp.asarray(edges_np, dt),
         "apds": jnp.asarray(apds_np),
         "valid": jnp.ones(cfg.batch_size, jnp.float32),
     }
@@ -92,9 +93,12 @@ def main() -> None:
             body, (params, opt_state), jnp.arange(n_steps))
         return params, opt_state, losses[-1]
 
-    # warmup / compile
-    params, opt_state, loss = run_steps(params, opt_state, key)
-    jax.block_until_ready(loss)
+    # warmup: compile + one throwaway execution (the first post-compile call
+    # pays a large one-time runtime cost on tunneled TPU setups)
+    for k in (0, 1):
+        params, opt_state, loss = run_steps(params, opt_state,
+                                            jax.random.fold_in(key, k))
+        jax.block_until_ready(loss)
 
     t0 = time.time()
     params, opt_state, loss = run_steps(params, opt_state,

@@ -193,8 +193,9 @@ class GraphSampler:
         acts_lo = take(L).astype(np.uint16)
         acts_hi = take(L).astype(np.uint16)
         acts = (acts_lo | (acts_hi << 8)).astype(np.int32)
-        ll = take(L * 4).reshape(B, L, 4).astype(np.uint8)
-        ll = ll.view(np.uint32).reshape(B, L).view(np.float32)
+        ll = np.ascontiguousarray(take(L * 4)).view(np.float32)
+        if ll.shape != (B, L):
+            ll = ll.reshape(B, L)
 
         graphs = [MolGraph(self.cfg, nodes[i], edges[i], int(n_nodes[i]))
                   for i in range(self.batch_size)]

@@ -61,7 +61,7 @@ def test_fused_pass_pads_ragged_batches():
     params = init_model(cfg, jax.random.PRNGKey(2))
     nodes, edges = _batch(cfg, 5)       # not a multiple of tile_b
     ref = apply_model(cfg, params, nodes, edges)
-    fused = ggnn_forward_fused(cfg, params, nodes, edges, tile_b=4,
+    fused = ggnn_forward_fused(cfg, params, nodes, edges, tile_b=8,
                                interpret=True)
     assert fused.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
