@@ -37,6 +37,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _selu(x: jnp.ndarray) -> jnp.ndarray:
+    """SELU via exp in float32 (jax.nn.selu lowers to expm1, and bf16
+    transcendentals hit Pallas TPU lowering bugs); input must be f32."""
+    scale = 1.0507009873554805
+    alpha = 1.6732632423543772
+    return scale * jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0))
+
+
 def fused_message_pass(cfg: GraphInventConfig, params: Params,
                        hidden: jnp.ndarray, edges: jnp.ndarray,
                        node_mask: jnp.ndarray, tile_b: int = 64,
@@ -49,16 +57,40 @@ def fused_message_pass(cfg: GraphInventConfig, params: Params,
     B, N, H = hidden.shape
     E = cfg.n_edge_features
     M = cfg.message_size
-    if B % tile_b != 0:
-        raise ValueError(f"batch {B} not divisible by tile_b {tile_b}")
+    # Mosaic can only merge/split the (TB, N) dims of a vector reshape when N
+    # is sublane-aligned; pad N to 16 (bf16 sublane tile).  Padded rows have
+    # zero mask and zero adjacency, so they are inert.
+    N_pad = _round_up(N, 16)
+    if N_pad != N:
+        dn = N_pad - N
+        hidden = jnp.pad(hidden, ((0, 0), (0, dn), (0, 0)))
+        edges = jnp.pad(edges, ((0, 0), (0, dn), (0, dn), (0, 0)))
+        node_mask = jnp.pad(node_mask, ((0, 0), (0, dn)))
+    N_orig, N = N, N_pad
+    # pad B so any tile size works (padded graphs are all-zero => inert)
+    B_orig, B_pad = B, _round_up(B, tile_b)
+    if B_pad != B:
+        db = B_pad - B
+        hidden = jnp.pad(hidden, ((0, db), (0, 0), (0, 0)))
+        edges = jnp.pad(edges, ((0, db), (0, 0), (0, 0), (0, 0)))
+        node_mask = jnp.pad(node_mask, ((0, db), (0, 0)))
+        B = B_pad
     if tile_b % 8 != 0 and tile_b != B:
         raise ValueError(f"tile_b {tile_b} must be a multiple of 8 "
                          "(TPU sublane tiling of the (tile_b, N) mask block)")
 
-    layer_ws = [lp["w"] for lp in params["msg_nns"]["layers"]]   # (E, O, I)
-    layer_bs = [lp["b"] for lp in params["msg_nns"]["layers"]]   # (E, O)
+    # Weights ride the MXU in the model dtype (bf16 inputs -> full-rate
+    # matmuls with f32 accumulation); biases stay f32 for the add.
+    wdt = hidden.dtype
+    layer_ws = [lp["w"].astype(wdt)
+                for lp in params["msg_nns"]["layers"]]           # (E, O, I)
+    layer_bs = [lp["b"].astype(jnp.float32)
+                for lp in params["msg_nns"]["layers"]]           # (E, O)
     n_layers = len(layer_ws)
-    gru = params["gru"]
+    gru = {"w_ih": params["gru"]["w_ih"].astype(wdt),
+           "w_hh": params["gru"]["w_hh"].astype(wdt),
+           "b_ih": params["gru"]["b_ih"].astype(jnp.float32),
+           "b_hh": params["gru"]["b_hh"].astype(jnp.float32)}
 
     def kernel(h_ref, e_ref, mask_ref, *refs):
         w_refs = refs[:n_layers]
@@ -70,39 +102,39 @@ def fused_message_pass(cfg: GraphInventConfig, params: Params,
         dt = h.dtype
         x2 = h.reshape(tile_b * N, H)
 
-        # per-edge-type MLP towers, all layers in VMEM
+        # per-edge-type MLP towers, all layers in VMEM.  Dot inputs stay in
+        # the model dtype (bf16 feeds the MXU); accumulation and all
+        # elementwise math run in f32 (bf16 transcendentals do not lower).
         msgs = jnp.zeros((tile_b, N, M), jnp.float32)
         for et in range(E):
             y = x2
             for l in range(n_layers):
                 w = w_refs[l][et]          # (O, I)
                 b = b_refs[l][et]
-                y = jax.nn.selu(
+                y = _selu(
                     jnp.dot(y, w.T, preferred_element_type=jnp.float32)
-                    .astype(dt) + b.astype(dt))
+                    + b.astype(jnp.float32)).astype(dt)
             y = y.reshape(tile_b, N, M)
             adj_e = e[:, :, :, et]         # (TB, N, N)
-            # batched tiny matmuls: unrolled over the tile's graphs would
-            # defeat the MXU; instead contract via masked lax.dot_general
-            # with the graph dim as a batch dim
+            # adjacency contraction as a batched dot (graph dim = batch dim)
             part = jax.lax.dot_general(
                 adj_e, y, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             msgs = msgs + part
-        msgs = msgs.astype(dt)
 
-        # GRU (torch gate order [r, z, n])
-        m2 = msgs.reshape(tile_b * N, M)
+        # GRU (torch gate order [r, z, n]); gates in f32 end-to-end
+        m2 = msgs.astype(dt).reshape(tile_b * N, M)
         gi = jnp.dot(m2, gih_ref[:].T,
-                     preferred_element_type=jnp.float32).astype(dt) \
-            + gbi_ref[:].astype(dt)
+                     preferred_element_type=jnp.float32) \
+            + gbi_ref[:].astype(jnp.float32)
         gh = jnp.dot(x2, ghh_ref[:].T,
-                     preferred_element_type=jnp.float32).astype(dt) \
-            + gbh_ref[:].astype(dt)
+                     preferred_element_type=jnp.float32) \
+            + gbh_ref[:].astype(jnp.float32)
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
-        new_h = ((1.0 - z) * n + z * x2).reshape(tile_b, N, H)
+        new_h = ((1.0 - z) * n + z * x2.astype(jnp.float32)) \
+            .astype(dt).reshape(tile_b, N, H)
 
         mask = mask_ref[:]
         out_ref[:] = jnp.where(mask[..., None] != 0, new_h, h)
@@ -127,14 +159,17 @@ def fused_message_pass(cfg: GraphInventConfig, params: Params,
         in_specs.append(full(g))
         operands.append(g)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, N, H), hidden.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=tile(N, H),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*operands)
+    return out[:B_orig, :N_orig]
 
 
 def ggnn_forward_fused(cfg: GraphInventConfig, params: Params,

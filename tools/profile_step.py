@@ -29,7 +29,12 @@ from graphinvent_tpu.train.optim import adam_init, adam_update
 from tools.torch_baseline import synthetic_batch
 
 
+ONLY = None      # substring filter over section names (3rd CLI arg)
+
+
 def timed(name, fn, *args, iters=30):
+    if ONLY and ONLY not in name:
+        return None
     out = fn(*args)          # compile
     jax.block_until_ready(out)
     t0 = time.time()
@@ -119,7 +124,7 @@ def main(batch_size=1000, dtype="bfloat16"):
                 cfg, nodes + c.astype(dt_c), edges)
             for _ in range(cfg.message_passes):
                 hidden = fused_message_pass(cfg, p, hidden, edges, node_mask,
-                                            tile_b=200)
+                                            tile_b=64)
             return hidden
         timed("message passes (pallas)", scan30(fused_passes), params)
     except Exception as exc:
@@ -129,4 +134,6 @@ def main(batch_size=1000, dtype="bfloat16"):
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     dt = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    if len(sys.argv) > 3:
+        ONLY = sys.argv[3]
     main(bs, dt)
