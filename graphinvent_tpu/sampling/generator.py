@@ -130,12 +130,12 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
             final["term"].astype(jnp.uint8), final["t"], final["rounds"])
 
 
-def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t):
+def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t, rounds):
     """Packs all sampler outputs into ONE uint8 buffer: device->host
     transfers pay a fixed ~tens-of-ms latency each on tunneled TPU setups,
     so a single fetch beats eight; graphs are 0/1 so uint8 also cuts
-    bandwidth 4x.  (Kept as a separate jit: fusing this into the while-loop
-    program sends the TPU compiler into a pathological 10-minute compile.)"""
+    bandwidth 4x.  Compiled into the same program as the sampling loop so
+    one dispatch covers loop+pack (saves one host round trip per batch)."""
     B = nodes.shape[0]
     u8 = lambda x: x.reshape(B, -1).astype(jnp.uint8)
     ll_bytes = jax.lax.bitcast_convert_type(ll, jnp.uint8).reshape(B, -1)
@@ -148,6 +148,7 @@ def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t):
         (acts16 & 0xFF).astype(jnp.uint8),
         (acts16 >> 8).astype(jnp.uint8),
         ll_bytes,
+        jnp.full((B, 1), 0, jnp.uint8) + rounds.astype(jnp.uint8),
     ], axis=1)
 
 
@@ -161,10 +162,11 @@ class GraphSampler:
         self.batch_size = batch_size
         apply_fn = apply_fn or (
             lambda params, nodes, edges: apply_model(cfg, params, nodes, edges))
+        # loop + pack in ONE program: a single dispatch and a single
+        # device->host fetch per batch
         self._jitted = jax.jit(
-            lambda params, key: _sample_loop(cfg, params, key, batch_size,
-                                             apply_fn))
-        self._pack = jax.jit(_pack_outputs)
+            lambda params, key: _pack_outputs(
+                *_sample_loop(cfg, params, key, batch_size, apply_fn)))
 
     def sample(self, params: Params, key: jax.Array,
                quiet: bool = False) -> SampleResult:
@@ -173,10 +175,7 @@ class GraphSampler:
         N, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
         L = cfg.max_n_nodes * 2
         t0 = time.time()
-        (d_nodes, d_edges, d_n, d_ll, d_acts, d_term, d_t, rounds) = \
-            self._jitted(params, key)
-        packed = self._pack(d_nodes, d_edges, d_n, d_ll, d_acts, d_term, d_t)
-        packed = np.asarray(packed)           # single device->host transfer
+        packed = np.asarray(self._jitted(params, key))   # single transfer
         elapsed = time.time() - t0
 
         o = 0
@@ -196,6 +195,7 @@ class GraphSampler:
         ll = np.ascontiguousarray(take(L * 4)).view(np.float32)
         if ll.shape != (B, L):
             ll = ll.reshape(B, L)
+        rounds = int(take(1)[0, 0])
 
         graphs = [MolGraph(self.cfg, nodes[i], edges[i], int(n_nodes[i]))
                   for i in range(self.batch_size)]

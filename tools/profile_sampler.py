@@ -2,9 +2,13 @@
 
     python tools/profile_sampler.py [batch_size] [dtype]
 
-Times (a) a bare model forward, (b) the sampling loop with the model
-stubbed out (loop infrastructure: decode/apply/scatter/reset), and (c) the
-full sampler, reporting per-round costs.
+Times each stage separately so device-loop cost is not conflated with
+host-side overhead:
+  (a) bare model forward (scanned)
+  (b) device loop with the model stubbed, forced to run ALL rounds
+      (per-round infrastructure cost: decode/apply/record)
+  (c) device loop with the real model, forced all rounds (per-round total)
+  (d) full sampler stages: device loop / pack / transfer / host decode
 """
 
 from __future__ import annotations
@@ -16,16 +20,27 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graphinvent_tpu.config import preset
 from graphinvent_tpu.models import apply_model, init_model
 from graphinvent_tpu.sampling import GraphSampler
 
 
+def timeit(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return time.time() - t0, out
+
+
 def main(batch_size=1000, dtype="float32"):
     cfg = preset("GGNN", compute_dtype=dtype)
     params = init_model(cfg, jax.random.PRNGKey(0))
     print(f"batch={batch_size} dtype={dtype}")
+    max_rounds = cfg.max_n_nodes * 2 + 4
 
     # (a) bare forward, scanned x20
     dt_c = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -40,35 +55,51 @@ def main(batch_size=1000, dtype="float32"):
         out, _ = jax.lax.scan(body, 0.0, jnp.arange(20))
         return out
 
-    fwd20(params).block_until_ready()
-    t0 = time.time()
-    fwd20(params).block_until_ready()
-    per_fwd = (time.time() - t0) / 20
-    print(f"bare forward           {per_fwd*1e3:8.2f} ms/round")
+    dt_fwd, _ = timeit(fwd20, params)
+    print(f"bare forward                  {dt_fwd/20*1e3:8.2f} ms/round")
 
-    # (b) loop infrastructure only (uniform stub logits => quick invalids)
-    def stub(params, nodes, edges):
-        return jnp.zeros((nodes.shape[0], cfg.dim_apd), jnp.float32)
+    # "never terminate": strongly prefer the first add action so every graph
+    # keeps building until the invalid/overflow guard trips at L-1
+    def stub_run_all(p, nodes, edges):
+        logits = jnp.full((nodes.shape[0], cfg.dim_apd), -30.0, jnp.float32)
+        return logits.at[:, 0].set(30.0)
 
-    s_stub = GraphSampler(cfg, batch_size, apply_fn=stub)
-    r = s_stub.sample({}, jax.random.PRNGKey(0), quiet=True)     # compile
-    t0 = time.time()
-    r = s_stub.sample({}, jax.random.PRNGKey(1), quiet=True)
-    stub_total = time.time() - t0
-    print(f"stub sampler           {stub_total*1e3:8.2f} ms total, "
-          f"{r.n_rounds} rounds, "
-          f"{stub_total/max(r.n_rounds,1)*1e3:8.2f} ms/round")
+    # (b) loop infrastructure only, all rounds (packed buffer: rounds is
+    # the last uint8 column)
+    s_stub = GraphSampler(cfg, batch_size, apply_fn=stub_run_all)
+    dt_loop, out = timeit(s_stub._jitted, {}, jax.random.PRNGKey(0))
+    rounds = int(np.asarray(out[0, -1]))
+    print(f"stub loop+pack dispatch       {dt_loop*1e3:8.2f} ms total, "
+          f"{rounds} rounds, {dt_loop/max(rounds,1)*1e3:8.2f} ms/round")
 
-    # (c) full sampler
+    # (c) real model forward cost + forced all-rounds continuation
+    def model_plus_force(p, nodes, edges):
+        _ = apply_model(cfg, p, nodes, edges)   # real forward cost
+        return stub_run_all(p, nodes, edges)
+    s_force = GraphSampler(cfg, batch_size, apply_fn=model_plus_force)
+    dt_force, out = timeit(s_force._jitted, params, jax.random.PRNGKey(0))
+    rounds_f = int(np.asarray(out[0, -1]))
+    print(f"model loop+pack dispatch      {dt_force*1e3:8.2f} ms total, "
+          f"{rounds_f} rounds, {dt_force/max(rounds_f,1)*1e3:8.2f} ms/round")
+
+    # (d) full sampler stage split (real model, natural termination)
     s = GraphSampler(cfg, batch_size)
-    r = s.sample(params, jax.random.PRNGKey(0), quiet=True)      # compile
+    s.sample(params, jax.random.PRNGKey(0), quiet=True)         # compile
     t0 = time.time()
-    r = s.sample(params, jax.random.PRNGKey(1), quiet=True)
-    full_total = time.time() - t0
-    print(f"full sampler           {full_total*1e3:8.2f} ms total, "
-          f"{r.n_rounds} rounds, "
-          f"{full_total/max(r.n_rounds,1)*1e3:8.2f} ms/round")
-    print(f"molecules/s            {batch_size/full_total:10.1f}")
+    dev = s._jitted(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(dev)
+    t1 = time.time()
+    host = np.asarray(dev)
+    t2 = time.time()
+    r = s.sample(params, jax.random.PRNGKey(1), quiet=True)     # total e2e
+    t3 = time.time()
+    print(f"full: loop+pack               {(t1-t0)*1e3:8.2f} ms "
+          f"({int(host[0, -1])} rounds)")
+    print(f"full: transfer                {(t2-t1)*1e3:8.2f} ms "
+          f"({host.nbytes/1e6:.2f} MB)")
+    print(f"full: e2e sample()            {(t3-t2)*1e3:8.2f} ms "
+          f"=> host decode ~{(t3-t2-(t2-t0))*1e3:8.2f} ms")
+    print(f"molecules/s                   {batch_size/(t3-t2):10.1f}")
 
 
 if __name__ == "__main__":
