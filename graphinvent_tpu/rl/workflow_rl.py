@@ -29,7 +29,8 @@ from graphinvent_tpu.sampling import GraphSampler
 from graphinvent_tpu.sampling.replay import trajectory_loglik
 from graphinvent_tpu.train.optim import adam_init, adam_update, onecycle_for_config
 from graphinvent_tpu.utils.checkpoint import (
-    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+    checkpoint_path, latest_checkpoint, load_checkpoint, load_params_any,
+    save_checkpoint,
 )
 
 Params = Any
@@ -77,16 +78,18 @@ def learning_phase(workflow) -> None:
     found = latest_checkpoint(cfg.pretrained_model_dir)
     if found is None:
         import os
-        pre = os.path.join(cfg.dataset_dir, "pretrained_model.ckpt")
-        if os.path.exists(pre):
-            found = (pre, 0)
+        for ext in (".ckpt", ".pth"):
+            pre = os.path.join(cfg.dataset_dir, f"pretrained_model{ext}")
+            if os.path.exists(pre):
+                found = (pre, 0)
+                break
     if found is None:
         raise FileNotFoundError(
             f"no pre-trained checkpoint in {cfg.pretrained_model_dir} or "
             f"{cfg.dataset_dir}")
     path, restart_epoch = found
     print(f"-- Loading pre-trained model from {path}", flush=True)
-    agent_params, _, _ = load_checkpoint(path)
+    agent_params = load_params_any(cfg, path)
     agent_params = jax.tree_util.tree_map(jnp.asarray, agent_params)
     prior_params = agent_params
     basf_params = agent_params          # "best agent so far"

@@ -30,7 +30,8 @@ from graphinvent_tpu.train.step import (
 )
 from graphinvent_tpu.sampling import GraphSampler
 from graphinvent_tpu.utils.checkpoint import (
-    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+    checkpoint_path, latest_checkpoint, load_checkpoint, load_params_any,
+    save_checkpoint,
 )
 from graphinvent_tpu.utils.logging import JobLogger
 
@@ -265,14 +266,14 @@ class Workflow:
     def _load_model_for_inference(self, epoch: Optional[int] = None):
         cfg = self.cfg
         if epoch is not None:
-            path = checkpoint_path(cfg.job_dir, epoch)
+            path = checkpoint_path(cfg.job_dir, epoch, allow_torch=True)
         else:
             found = latest_checkpoint(cfg.job_dir)
             if not found:
                 raise FileNotFoundError(f"no checkpoint in {cfg.job_dir}")
             path, epoch = found
         print(f"* Loading model from {path} (epoch {epoch}).", flush=True)
-        params, _, _ = load_checkpoint(path)
+        params = load_params_any(cfg, path)
         return params, epoch
 
     def generation_phase(self) -> None:
