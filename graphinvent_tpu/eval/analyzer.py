@@ -104,9 +104,12 @@ class Analyzer:
 
         if write:
             self.logger.properties_to_csv(prop_dict, epoch_key)
+            # file stem mirrors the reference's generation/epoch_{N}.smi
+            # (util.py:680-685): "Epoch 2" -> epoch_2.smi, not
+            # epoch_Epoch_2.smi
+            stem = epoch_key.replace("Epoch ", "").replace(" ", "_")
             self.logger.write_molecules(
-                epoch_key.replace(" ", "_"), smiles,
-                loglikelihoods, validity, label=label)
+                stem, smiles, loglikelihoods, validity, label=label)
             if plot:
                 try:
                     self.plot_molecular_properties(

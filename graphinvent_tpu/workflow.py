@@ -90,7 +90,14 @@ class Workflow:
             if found:
                 path, epoch = found
                 print(f"-- Restoring checkpoint {path}", flush=True)
-                params, opt_state, _ = load_checkpoint(path)
+                if path.endswith((".pth", ".pt")):
+                    # imported reference checkpoint: params only, so the
+                    # optimizer starts fresh (the reference's own restart
+                    # behaviour, Workflow.py:208-237)
+                    params = load_params_any(cfg, path)
+                    opt_state = None
+                else:
+                    params, opt_state, _ = load_checkpoint(path)
                 if opt_state is None:
                     opt_state = adam_init(params)
                 return params, opt_state, epoch + 1
