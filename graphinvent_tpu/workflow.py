@@ -50,6 +50,15 @@ class Workflow:
         self.train_h5 = os.path.join(d, "train.h5")
         self.valid_h5 = os.path.join(d, "valid.h5")
         self.test_h5 = os.path.join(d, "test.h5")
+        self._samplers: Dict[int, GraphSampler] = {}
+
+    def _get_sampler(self, batch_size: int) -> GraphSampler:
+        """One GraphSampler (= one compiled program) per batch size for the
+        whole job: rebuilding it per evaluation re-traces and re-loads the
+        program every time (~6 s/eval through the TPU tunnel)."""
+        if batch_size not in self._samplers:
+            self._samplers[batch_size] = GraphSampler(self.cfg, batch_size)
+        return self._samplers[batch_size]
 
     # ------------------------------------------------------------------
     def run(self) -> None:
@@ -244,7 +253,7 @@ class Workflow:
         cfg = self.cfg
         n_samples = cfg.n_samples
         batch = min(cfg.batch_size, n_samples)
-        sampler = GraphSampler(cfg, batch)
+        sampler = self._get_sampler(batch)
         all_nlls: List[np.ndarray] = []
         n_done = 0
         batch_idx = 0
@@ -289,7 +298,7 @@ class Workflow:
         analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
         params, epoch = self._load_model_for_inference(cfg.generation_epoch)
         batch = min(cfg.batch_size, cfg.n_samples)
-        sampler = GraphSampler(cfg, batch)
+        sampler = self._get_sampler(batch)
         n_done, batch_idx = 0, 0
         while n_done < cfg.n_samples:
             res = sampler.sample(params,
@@ -317,7 +326,7 @@ class Workflow:
         nll_step = make_likelihood_step(cfg)
 
         batch = min(cfg.batch_size, cfg.n_samples)
-        sampler = GraphSampler(cfg, batch)
+        sampler = self._get_sampler(batch)
         res = sampler.sample(params, self.key)
         analyzer.evaluate_generated_graphs(
             res.graphs, res.properly_terminated, res.final_loglikelihoods,
