@@ -54,6 +54,20 @@ def _make_rl_grad(cfg: GraphInventConfig):
     return jax.jit(jax.value_and_grad(loss_fn))
 
 
+def _make_loglik(cfg: GraphInventConfig):
+    """Jitted trajectory replay: calling trajectory_loglik raw executes the
+    L-step scan op-by-op (seconds per call through the TPU tunnel)."""
+    return jax.jit(lambda p, a, t: trajectory_loglik(cfg, p, a, t))
+
+
+def _make_adam(cfg: GraphInventConfig):
+    """Jitted optimizer update (unjitted it dispatches one op per leaf).
+    No buffer donation: prior/BASF param trees alias the agent's buffers
+    (``prior_params = agent_params``), so donating params would invalidate
+    them."""
+    return jax.jit(adam_update)
+
+
 def _score_batch(workflow, scoring_fn: ScoringFunction, analyzer: Analyzer,
                  res, step: int, label: str, write: bool
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -97,6 +111,8 @@ def learning_phase(workflow) -> None:
     opt_state = adam_init(agent_params)
     schedule = onecycle_for_config(cfg, 1)
     rl_grad = _make_rl_grad(cfg)
+    loglik = _make_loglik(cfg)
+    adam_step = _make_adam(cfg)
     sampler = GraphSampler(cfg, cfg.batch_size)
     sigma, alpha = cfg.sigma, cfg.alpha
     best_avg_score = 0.0
@@ -119,8 +135,8 @@ def learning_phase(workflow) -> None:
                                quiet=True)
         scores_a, unique_a = _score_batch(workflow, scoring_fn, analyzer,
                                           res_a, step, "agent", True)
-        prior_ll = np.asarray(trajectory_loglik(
-            cfg, prior_params, jnp.asarray(res_a.actions),
+        prior_ll = np.asarray(loglik(
+            prior_params, jnp.asarray(res_a.actions),
             jnp.asarray(res_a.t_counts)))
         target_a = jnp.asarray(prior_ll + sigma * scores_a, jnp.float32)
         mask_a = jnp.asarray(unique_a != 0, jnp.float32)
@@ -130,8 +146,8 @@ def learning_phase(workflow) -> None:
                                quiet=True)
         scores_b, unique_b = _score_batch(workflow, scoring_fn, analyzer,
                                           res_b, step, "BASF", False)
-        basf_ll = np.asarray(trajectory_loglik(
-            cfg, basf_params, jnp.asarray(res_b.actions),
+        basf_ll = np.asarray(loglik(
+            basf_params, jnp.asarray(res_b.actions),
             jnp.asarray(res_b.t_counts)))
         # loss_b = (basf_ll - (agent_ll + sigma*score))^2, mask includes the
         # score > best_avg_score gate
@@ -146,8 +162,8 @@ def learning_phase(workflow) -> None:
                               jnp.asarray(res_b.t_counts), target_b, mask_b,
                               alpha)
         lr, beta1 = schedule(opt_state.step)
-        agent_params, opt_state = adam_update(grads, opt_state, agent_params,
-                                              lr, beta1)
+        agent_params, opt_state = adam_step(grads, opt_state, agent_params,
+                                            lr, beta1)
 
         avg_score = float(np.mean(scores_a))
         print(f"Step {step}: loss {float(loss):.4f} avg_score "

@@ -59,5 +59,10 @@ def trajectory_loglik(cfg: GraphInventConfig, params: Params,
 
     init = (jnp.zeros((B, N, Fn), dt), jnp.zeros((B, N, N, E), dt),
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
-    (_, _, _, acc), _ = jax.lax.scan(step, init, jnp.arange(L))
+    # rematerialise each replay step in the backward pass: without this the
+    # grad-of-scan stores every step's MLP activations -- e.g.
+    # f32[L, B, N, 500] per APD-head layer, tens of GB at L=26, B=500 --
+    # and OOMs HBM.  Recompute costs ~1/3 extra FLOPs for O(L)-less memory.
+    (_, _, _, acc), _ = jax.lax.scan(jax.checkpoint(step), init,
+                                     jnp.arange(L))
     return acc
