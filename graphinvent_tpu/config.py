@@ -180,6 +180,9 @@ class GraphInventConfig:
     edge_emb_dropout_p: float = 0.0
     edge_emb_hidden_dim: int = 250
     edge_emb_size: int = 100
+    # EMN: run per-edge MLPs over a fixed-capacity packed edge list instead
+    # of all N^2 dense slots (identical math; see models/mpnn.py)
+    emn_packed: bool = True
 
     big_negative: float = -1e6
     big_positive: float = 1e6

@@ -376,9 +376,145 @@ def init_emn(cfg: GraphInventConfig, key: jax.Array) -> Params:
     }
 
 
+def _emn_edge_capacity(cfg: GraphInventConfig) -> int:
+    """Static bound on directed edges per graph.  Every atom's bond-order
+    sum is capped by its valence; the largest valence in the chemistry
+    model is 7 (S/Se with +1 charge, chem/molecule.py DEFAULT_VALENCES), so
+    bonds <= 7N/2 and directed edges <= 7N.  The sampler is tighter still
+    (<= 2 actions per node => < 4N directed edges)."""
+    n = cfg.max_n_nodes
+    cap = ((7 * n + 7) // 8) * 8
+    return min(n * n, cap)
+
+
 def apply_emn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
               edges: jnp.ndarray, train: bool = False,
               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """EMN forward: packed-edge formulation when it saves work (the dense
+    (B,N,N,·) layout evaluates the per-edge MLPs on every node pair while
+    only ~15% are real edges at N=13, far fewer at ChEMBL sizes), dense
+    otherwise or when cfg.emn_packed is off."""
+    if cfg.emn_packed and _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2:
+        return apply_emn_packed(cfg, params, nodes, edges, train, rng)
+    return apply_emn_dense(cfg, params, nodes, edges, train, rng)
+
+
+def apply_emn_packed(cfg: GraphInventConfig, params: Params,
+                     nodes: jnp.ndarray, edges: jnp.ndarray,
+                     train: bool = False,
+                     rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """EMN forward over a fixed-capacity packed edge list (SURVEY.md §7
+    design delta 1 applied to the edge-memory model).
+
+    Real directed edges (row-major (i,j) order) are packed into E_cap
+    slots via a stable argsort of the flat adjacency mask; all segment
+    reductions are one-hot batched matmuls (MXU) and the reverse-edge
+    lookup is a gather through the inverse packing permutation -- no
+    scatters in the pass.  Numerically this matches apply_emn_dense up to
+    f32 rounding (the softmax stabiliser is per-(b,d) instead of
+    per-(b,i,d); it cancels exactly in the attention ratio).  With
+    dropout enabled the mask draws differ from the dense path (different
+    row layout); dropout defaults to 0 as in the reference."""
+    keys = _readout_keys(rng, 5)
+    B, N, Fn = nodes.shape
+    dt = nodes.dtype
+    D = cfg.edge_emb_size
+    E = cfg.n_edge_features
+    E_cap = _emn_edge_capacity(cfg)
+    NN = N * N
+
+    adjacency = jnp.sum(edges, axis=3)                 # (B,N,N)
+    adj_flat = (adjacency != 0).reshape(B, NN)
+    node_mask = jnp.sum(adjacency, axis=-1) != 0
+
+    # pack: stable argsort puts real edges (row-major) in the first slots
+    order = jnp.argsort(~adj_flat, axis=1, stable=True)
+    sel = order[:, :E_cap]                             # (B,E_cap) flat (i,j)
+    valid = jnp.take_along_axis(adj_flat, sel, axis=1) # (B,E_cap)
+    valid_f = valid.astype(dt)[..., None]              # (B,E_cap,1)
+    src = sel // N                                     # edge i -> j: i
+    dst = sel % N                                      # j
+    # inverse permutation: flat (i,j) -> packed slot (for the reverse edge)
+    pos = jnp.zeros((B, NN), jnp.int32).at[
+        jnp.arange(B)[:, None], sel].set(
+        jnp.arange(E_cap, dtype=jnp.int32)[None, :])
+    rev_idx = jnp.take_along_axis(pos, dst * N + src, axis=1)  # (B,E_cap)
+
+    # one-hot incidence (zeroed for padding slots): segment sums as matmuls
+    src_oh = (jax.nn.one_hot(src, N, dtype=dt) * valid_f)      # (B,E_cap,N)
+    dst_oh = (jax.nn.one_hot(dst, N, dtype=dt) * valid_f)
+
+    # static edge embeddings on packed slots only
+    x_s = jnp.take_along_axis(nodes, src[..., None], axis=1)   # (B,E_cap,Fn)
+    x_t = jnp.take_along_axis(nodes, dst[..., None], axis=1)
+    e_feat = jnp.take_along_axis(edges.reshape(B, NN, E), sel[..., None],
+                                 axis=1)
+    cat = jnp.concatenate([x_s, x_t, e_feat], axis=-1)
+    E_emb = jnp.tanh(mlp(params["embedding_nn"], cat,
+                         cfg.edge_emb_dropout_p, train, keys[0])) * valid_f
+
+    att_self = mlp(params["att_msg_nn"], E_emb, cfg.att_dropout_p,
+                   train, keys[1])                     # (B,E_cap,D)
+    emb_self = mlp(params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
+                   train, keys[2])
+
+    memories = jnp.zeros((B, E_cap, D), dt)
+    neg_inf = jnp.asarray(cfg.big_negative, dt)
+
+    def contract(inc, val):          # (B,E_cap,N),(B,E_cap,D) -> (B,N,D)
+        return jnp.einsum("ben,bed->bnd", inc, val,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    def at_src(per_node):            # (B,N,D) -> (B,E_cap,D)
+        return jnp.einsum("ben,bnd->bed", src_oh, per_node,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    for _ in range(cfg.message_passes):
+        att_mem = mlp(params["att_msg_nn"], memories, cfg.att_dropout_p,
+                      train, keys[1])
+        emb_mem = mlp(params["emb_msg_nn"], memories, cfg.msg_dropout_p,
+                      train, keys[2])
+
+        # per-(b,d) stabiliser over every relevant energy (cancels exactly)
+        masked_mem = jnp.where(valid[..., None], att_mem, neg_inf)
+        masked_self = jnp.where(valid[..., None], att_self, neg_inf)
+        m = jnp.maximum(jnp.max(masked_mem, axis=1),
+                        jnp.max(masked_self, axis=1))            # (B,D)
+        m = jnp.where(m > 0.5 * neg_inf, m, 0.0)
+
+        exp_mem = jnp.exp(att_mem - m[:, None, :]) * valid_f     # (B,E_cap,D)
+        S = contract(dst_oh, exp_mem)                            # (B,N,D)
+        T = contract(dst_oh, exp_mem * emb_mem)
+        S_at = at_src(S)                                         # (B,E_cap,D)
+        T_at = at_src(T)
+
+        exp_rev = jnp.take_along_axis(exp_mem, rev_idx[..., None], axis=1)
+        emb_rev = jnp.take_along_axis(emb_mem, rev_idx[..., None], axis=1)
+
+        exp_self = jnp.exp(att_self - m[:, None, :]) * valid_f
+        Z = exp_self + S_at - exp_rev
+        numer = exp_self * emb_self + T_at - exp_rev * emb_rev
+        Z_safe = jnp.where(valid[..., None], jnp.maximum(Z, 1e-30), 1.0)
+        numer_safe = jnp.where(valid[..., None], numer, 0.0)
+        message = numer_safe / Z_safe
+
+        new_mem = gru_cell(params["gru"], message.reshape(-1, D),
+                           jnp.zeros((B * E_cap, D), dt)).reshape(B, E_cap, D)
+        memories = new_mem * valid_f
+
+    graph_sets = contract(src_oh, memories)                      # (B,N,D)
+
+    graph_emb = graph_gather(params["gather"], graph_sets, graph_sets,
+                             node_mask, cfg.big_positive,
+                             cfg.gather_att_dropout_p,
+                             cfg.gather_emb_dropout_p, train, keys[3])
+    return global_readout(params["apd"], graph_sets, graph_emb,
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[4])
+
+
+def apply_emn_dense(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
+                    edges: jnp.ndarray, train: bool = False,
+                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """EMN forward with a factored incoming-edge attention.
 
     For directed edge (i,j), the incoming set is {M[k,i] : adj(k,i), k != j}

