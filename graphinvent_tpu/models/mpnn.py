@@ -213,12 +213,12 @@ def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     M = _enn_matrices(cfg, params["enn"], dt, train, keys[0])
     E = cfg.n_edge_features
     adj_mask = adjacency != 0            # (B,N,N)
+    packed = cfg.emn_packed and _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2
+    packing = _pack_edges(edges, _emn_edge_capacity(cfg)) if packed else None
     for _ in range(cfg.message_passes):
         # message terms per edge type (gnn/mpnn.py:202-207)
         per_type = jnp.einsum("bnh,emh->ebnm", hidden, M,
                               preferred_element_type=jnp.float32).astype(dt)
-        msg_terms = jnp.einsum("bije,ebjm->bijm", edges, per_type,
-                               preferred_element_type=jnp.float32).astype(dt)
         # attention energies: att_enn([onehot_e, h_j]) per type, then pick
         # the edge's type via the adjacency (gnn/mpnn.py:209-212)
         att_per_type = []
@@ -230,11 +230,20 @@ def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
             att_per_type.append(mlp(params["att_enn"], cat,
                                     cfg.att_dropout_p, train, keys[1]))
         att_stack = jnp.stack(att_per_type)            # (E, B, N, M)
-        energies = jnp.einsum("bije,ebjm->bijm", edges, att_stack,
-                              preferred_element_type=jnp.float32).astype(dt)
-        energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_negative
-        weights = jax.nn.softmax(energies + energy_mask[..., None], axis=2)
-        messages = jnp.sum(weights * msg_terms, axis=2)
+        if packed:
+            messages = _packed_attention_messages(cfg, packing,
+                                                  per_type, att_stack)
+        else:
+            msg_terms = jnp.einsum("bije,ebjm->bijm", edges, per_type,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dt)
+            energies = jnp.einsum("bije,ebjm->bijm", edges, att_stack,
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dt)
+            energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_negative
+            weights = jax.nn.softmax(
+                energies + energy_mask[..., None], axis=2)
+            messages = jnp.sum(weights * msg_terms, axis=2)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
     graph_emb = set2vec(params["s2v"], hidden, nodes, node_mask,
                         cfg.s2v_lstm_computations, cfg.s2v_memory_size,
@@ -327,18 +336,27 @@ def apply_attggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
     dt = hidden.dtype
     adj_mask = adjacency != 0
+    packed = cfg.emn_packed and _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2
+    packing = _pack_edges(edges, _emn_edge_capacity(cfg)) if packed else None
     for _ in range(cfg.message_passes):
         emb_per_type = stacked_mlp(params["msg_nns"], hidden,
                                    cfg.msg_dropout_p, train, keys[0])
         att_per_type = stacked_mlp(params["att_nns"], hidden,
                                    cfg.att_dropout_p, train, keys[1])
-        embedding = jnp.einsum("bije,ebjm->bijm", edges, emb_per_type,
-                               preferred_element_type=jnp.float32).astype(dt)
-        energies = jnp.einsum("bije,ebjm->bijm", edges, att_per_type,
-                              preferred_element_type=jnp.float32).astype(dt)
-        energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_positive
-        attention = jax.nn.softmax(energies - energy_mask[..., None], axis=2)
-        messages = jnp.sum(attention * embedding, axis=2)
+        if packed:
+            messages = _packed_attention_messages(cfg, packing,
+                                                  emb_per_type, att_per_type)
+        else:
+            embedding = jnp.einsum("bije,ebjm->bijm", edges, emb_per_type,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dt)
+            energies = jnp.einsum("bije,ebjm->bijm", edges, att_per_type,
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dt)
+            energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_positive
+            attention = jax.nn.softmax(
+                energies - energy_mask[..., None], axis=2)
+            messages = jnp.sum(attention * embedding, axis=2)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
     graph_emb = graph_gather(params["gather"], hidden, nodes, node_mask,
                              cfg.big_positive, cfg.gather_att_dropout_p,
@@ -385,6 +403,80 @@ def _emn_edge_capacity(cfg: GraphInventConfig) -> int:
     n = cfg.max_n_nodes
     cap = ((7 * n + 7) // 8) * 8
     return min(n * n, cap)
+
+
+def _pack_edges(edges: jnp.ndarray, E_cap: int):
+    """Packs the real directed edges (row-major (i,j)) of a dense
+    (B,N,N,E) tensor into E_cap slots.  Returns (src, dst, valid,
+    type_onehot, src_onehot, dst_onehot); see apply_emn_packed for the
+    capacity argument."""
+    B, N, _, E = edges.shape
+    dt = edges.dtype
+    adj_flat = (jnp.sum(edges, axis=3) != 0).reshape(B, N * N)
+    order = jnp.argsort(~adj_flat, axis=1, stable=True)
+    sel = order[:, :E_cap]
+    valid = jnp.take_along_axis(adj_flat, sel, axis=1)
+    valid_f = valid.astype(dt)[..., None]
+    src = sel // N
+    dst = sel % N
+    type_oh = jnp.take_along_axis(edges.reshape(B, N * N, E),
+                                  sel[..., None], axis=1)      # (B,E_cap,E)
+    src_oh = jax.nn.one_hot(src, N, dtype=dt) * valid_f
+    dst_oh = jax.nn.one_hot(dst, N, dtype=dt) * valid_f
+    return src, dst, valid, type_oh, src_oh, dst_oh
+
+
+def _packed_attention_messages(cfg: GraphInventConfig, packing,
+                               emb_per_type: jnp.ndarray,
+                               att_per_type: jnp.ndarray) -> jnp.ndarray:
+    """Attention-aggregated messages over a packed edge list.
+
+    Dense equivalent (apply_attggnn / apply_atts2v loop bodies):
+        embedding[b,i,j,m] = sum_e edges[b,i,j,e] * emb_per_type[e,b,j,m]
+        energies likewise; attention = softmax_j(energies + mask)
+        messages[b,i,m]   = sum_j attention * embedding
+    Here each real edge (i,j) selects its type's per-node value at j by
+    gather+type-contraction, and the softmax over j becomes exp /
+    segment-sum grouped by i via one-hot matmuls.  The softmax stabiliser
+    is per-(b,m) (cancels exactly); isolated nodes get zero messages, as
+    the dense path's fully-masked softmax does after the GRU node mask."""
+    E, B, N, M = emb_per_type.shape
+    dt = emb_per_type.dtype
+    src, dst, valid, type_oh, src_oh, dst_oh = packing
+    E_cap = src.shape[1]
+    valid_f = valid.astype(dt)[..., None]
+
+    def select(per_type):      # (E,B,N,M) -> (B,E_cap,M) at (type, dst)
+        # row selection as a one-hot batched matmul: take_along_axis
+        # gathers lower to layout-dependent slice loops on TPU (12 ms/step
+        # observed for AttS2V); the matmul rides the MXU regardless
+        out = jnp.zeros((B, E_cap, M), dt)
+        for t in range(E):
+            rows = jnp.einsum("ben,bnm->bem", dst_oh, per_type[t],
+                              preferred_element_type=jnp.float32).astype(dt)
+            out = out + type_oh[:, :, t, None].astype(dt) * rows
+        return out
+
+    att_sel = select(att_per_type)
+    emb_sel = select(emb_per_type)
+
+    neg_inf = jnp.asarray(cfg.big_negative, dt)
+    masked = jnp.where(valid[..., None], att_sel, neg_inf)
+    m = jnp.max(masked, axis=1)                              # (B,M)
+    m = jnp.where(m > 0.5 * neg_inf, m, 0.0)
+    exp_e = jnp.exp(att_sel - m[:, None, :]) * valid_f       # (B,E_cap,M)
+
+    S = jnp.einsum("ben,bem->bnm", src_oh, exp_e,
+                   preferred_element_type=jnp.float32)
+    T = jnp.einsum("ben,bem->bnm", src_oh, exp_e * emb_sel,
+                   preferred_element_type=jnp.float32)
+    # double-where: mask BOTH operands before dividing (clamping alone
+    # still propagates NaN through the division's VJP at S == 0 lanes --
+    # nodes with no incident edges)
+    p = S > 0
+    T_safe = jnp.where(p, T, 0.0)
+    S_safe = jnp.where(p, jnp.maximum(S, 1e-30), 1.0)
+    return (T_safe / S_safe).astype(dt)
 
 
 def apply_emn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,

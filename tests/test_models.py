@@ -137,3 +137,36 @@ def test_emn_packed_matches_dense():
     dense = np.asarray(apply_emn_dense(cfg, params, nodes, edges))
     packed = np.asarray(apply_emn_packed(cfg, params, nodes, edges))
     np.testing.assert_allclose(packed, dense, rtol=2e-4, atol=2e-4)
+
+
+def test_attention_packed_matches_dense():
+    """AttGGNN / AttS2V packed attention messages == dense softmax path."""
+    import numpy as np
+    import jax
+    from graphinvent_tpu.config import preset
+    from graphinvent_tpu.models import apply_model, init_model
+
+    rng = np.random.default_rng(7)
+    for model in ("AttGGNN", "AttS2V"):
+        cfg_p = preset(model)                       # N=13: packed active
+        cfg_d = preset(model, emn_packed=False)
+        assert cfg_p.emn_packed and not cfg_d.emn_packed
+        params = init_model(cfg_p, jax.random.PRNGKey(0))
+        B, N = 8, cfg_p.max_n_nodes
+        nodes = np.zeros((B, N, cfg_p.n_node_features), np.float32)
+        edges = np.zeros((B, N, N, cfg_p.n_edge_features), np.float32)
+        for b in range(B):
+            n = int(rng.integers(0, N + 1))
+            for i in range(n):
+                nodes[b, i, int(rng.integers(0, cfg_p.n_atom_types))] = 1
+                nodes[b, i, cfg_p.n_atom_types] = 1
+            for i in range(n - 1):
+                t = int(rng.integers(0, cfg_p.n_edge_features))
+                edges[b, i, i + 1, t] = edges[b, i + 1, 0 + i, t] = 1
+            if n >= 4:
+                t = int(rng.integers(0, cfg_p.n_edge_features))
+                edges[b, 0, n - 1, t] = edges[b, n - 1, 0, t] = 1
+        dense = np.asarray(apply_model(cfg_d, params, nodes, edges))
+        packed = np.asarray(apply_model(cfg_p, params, nodes, edges))
+        np.testing.assert_allclose(packed, dense, rtol=3e-4, atol=3e-4,
+                                   err_msg=model)
