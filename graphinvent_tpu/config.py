@@ -129,7 +129,10 @@ class GraphInventConfig:
     n_samples: int = 2000
     n_workers: int = 2
     seed: int = 0
-    compute_dtype: str = "float32"       # "float32" | "bfloat16" for activations
+    # activation compute dtype: bfloat16 is the production default (matmuls
+    # run at the MXU's full rate with f32 accumulation; losses/optimizer stay
+    # f32).  Set "float32" for bit-exact parity work.
+    compute_dtype: str = "bfloat16"
 
     # ---- RL fine-tuning ------------------------------------------------
     score_components: Tuple[str, ...] = ("QED", "drd2_activity", "target_size=13")
@@ -425,6 +428,7 @@ def test_config(model: str = "GGNN", **overrides: Any) -> GraphInventConfig:
         s2v_lstm_computations=2, s2v_memory_size=16,
         edge_emb_depth=2, edge_emb_hidden_dim=12, edge_emb_size=16,
         batch_size=8, block_size=64, epochs=2, n_samples=8, sample_every=1,
+        compute_dtype="float32",   # deterministic CPU tests / torch parity
     )
     small.update(overrides)
     return preset(model, **small)

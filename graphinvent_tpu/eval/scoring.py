@@ -30,13 +30,27 @@ class ScoringFunction:
         if len(self.score_components) != len(self.score_thresholds):
             raise ValueError("score_components and score_thresholds mismatch")
         self.qsar_models: Dict[str, object] = {}
+        needed = {c for c in self.score_components if "activity" in c}
         for name, path in (cfg.qsar_models or {}).items():
-            if isinstance(path, str) and os.path.exists(path):
-                with open(path, "rb") as fh:
-                    model = pickle.load(fh)
-                if isinstance(model, dict) and "classifier_sv" in model:
-                    model = model["classifier_sv"]   # reference pickle layout
-                self.qsar_models[name] = model
+            if name not in needed:
+                continue
+            if not (isinstance(path, str) and os.path.exists(path)):
+                # hard-fail like the reference's import-time pickle load
+                # (parameters/constants.py:250-256): a silent zero here would
+                # zero the whole binary reward and fine-tune nothing
+                raise FileNotFoundError(
+                    f"QSAR model for score component {name!r} not found at "
+                    f"{path!r} (set qsar_models in the config)")
+            with open(path, "rb") as fh:
+                model = pickle.load(fh)
+            if isinstance(model, dict) and "classifier_sv" in model:
+                model = model["classifier_sv"]   # reference pickle layout
+            self.qsar_models[name] = model
+        missing = needed - set(self.qsar_models)
+        if missing:
+            raise FileNotFoundError(
+                f"score component(s) {sorted(missing)} have no entry in "
+                f"qsar_models (reference: constants.py:250-256)")
 
     # ------------------------------------------------------------------
     def compute_score(self, graphs: Sequence, termination: np.ndarray,
@@ -86,10 +100,7 @@ class ScoringFunction:
             elif "activity" in comp:
                 if mols is None:
                     mols = [g.molecule for g in graphs]
-                model = self.qsar_models.get(comp)
-                if model is None:
-                    out.append(np.zeros(n))
-                    continue
+                model = self.qsar_models[comp]   # guaranteed by __init__
                 fps = bulk_fingerprints(mols)
                 try:
                     probs = model.predict_proba(fps)[:, 1]

@@ -394,14 +394,30 @@ def init_emn(cfg: GraphInventConfig, key: jax.Array) -> Params:
     }
 
 
+def _max_valence(cfg: GraphInventConfig) -> int:
+    """Largest allowed total valence over the config's chemistry
+    (atom_types x formal_charge) -- the per-atom bound on bond-order sum,
+    hence on degree.  Derived from the same valence model the sampler and
+    preprocessing enforce (chem/molecule.py allowed_valences)."""
+    from graphinvent_tpu.chem.molecule import allowed_valences
+    best = 1
+    for el in cfg.atom_types:
+        for q in cfg.formal_charge:
+            vals = allowed_valences(el, q)
+            if vals:
+                best = max(best, max(vals))
+    return best
+
+
 def _emn_edge_capacity(cfg: GraphInventConfig) -> int:
     """Static bound on directed edges per graph.  Every atom's bond-order
-    sum is capped by its valence; the largest valence in the chemistry
-    model is 7 (S/Se with +1 charge, chem/molecule.py DEFAULT_VALENCES), so
-    bonds <= 7N/2 and directed edges <= 7N.  The sampler is tighter still
-    (<= 2 actions per node => < 4N directed edges)."""
+    sum is capped by its allowed valence, so with V = max valence over the
+    config's chemistry, bonds <= V*N/2 and directed edges <= V*N (rounded
+    up to a multiple of 8 for TPU lane alignment).  The sampler is tighter
+    still (<= 2 actions per node => < 4N directed edges)."""
     n = cfg.max_n_nodes
-    cap = ((7 * n + 7) // 8) * 8
+    v = _max_valence(cfg)
+    cap = ((v * n + 7) // 8) * 8
     return min(n * n, cap)
 
 
@@ -438,8 +454,18 @@ def _packed_attention_messages(cfg: GraphInventConfig, packing,
     Here each real edge (i,j) selects its type's per-node value at j by
     gather+type-contraction, and the softmax over j becomes exp /
     segment-sum grouped by i via one-hot matmuls.  The softmax stabiliser
-    is per-(b,m) (cancels exactly); isolated nodes get zero messages, as
-    the dense path's fully-masked softmax does after the GRU node mask."""
+    is per-(b,m) (it cancels exactly in the ratio); isolated nodes get zero
+    messages, as the dense path's fully-masked softmax does after the GRU
+    node mask.
+
+    Numerical bound: with a per-(b,m) stabiliser, an edge whose energy sits
+    more than ~88 (f32) / ~11 (bf16 exp input, but exp here runs in the
+    compute dtype where ln(max)/~88 still holds for f32 accumulation) below
+    the batch-channel max underflows exp to 0; the dense path's
+    per-destination-row softmax would keep it.  Energies are MLP outputs
+    over tanh-bounded inputs and observed ranges are O(10); a per-destination
+    segment-max would need a (B,E_cap,N,M) intermediate (~1.3 GB at ChEMBL
+    dims), so the cheap stabiliser is used and the bound documented here."""
     E, B, N, M = emb_per_type.shape
     dt = emb_per_type.dtype
     src, dst, valid, type_oh, src_oh, dst_oh = packing

@@ -140,6 +140,12 @@ def learning_phase(workflow) -> None:
             jnp.asarray(res_a.t_counts)))
         target_a = jnp.asarray(prior_ll + sigma * scores_a, jnp.float32)
         mask_a = jnp.asarray(unique_a != 0, jnp.float32)
+        # per-step likelihood traces (reference: Workflow.py:738-743 +
+        # util.tbwrite_loglikelihoods writes the negated loglikelihoods)
+        logger.tb_scalar("Fine-tuning/agent_nll",
+                         float(-np.mean(res_a.final_loglikelihoods)), step)
+        logger.tb_scalar("Fine-tuning/prior_nll",
+                         float(-np.mean(prior_ll)), step)
 
         # ---- best-agent-so-far rollout (Workflow.py:588-591,743-747) ------
         res_b = sampler.sample(basf_params, jax.random.fold_in(key, 2 * step + 1),

@@ -140,15 +140,21 @@ def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t, rounds):
     u8 = lambda x: x.reshape(B, -1).astype(jnp.uint8)
     ll_bytes = jax.lax.bitcast_convert_type(ll, jnp.uint8).reshape(B, -1)
     acts16 = acts.astype(jnp.uint16)
+    t16 = t.astype(jnp.uint16)
+    rounds16 = rounds.astype(jnp.uint16)
+    # t and rounds are packed lo/hi (two bytes each): max_rounds =
+    # 2*max_n_nodes+4 exceeds 255 once max_n_nodes > 125 (ChEMBL-scale)
     return jnp.concatenate([
         u8(nodes), u8(edges),
         n_nodes.astype(jnp.uint8)[:, None],
         term.astype(jnp.uint8)[:, None],
-        t.astype(jnp.uint8)[:, None],
+        (t16 & 0xFF).astype(jnp.uint8)[:, None],
+        (t16 >> 8).astype(jnp.uint8)[:, None],
         (acts16 & 0xFF).astype(jnp.uint8),
         (acts16 >> 8).astype(jnp.uint8),
         ll_bytes,
-        jnp.full((B, 1), 0, jnp.uint8) + rounds.astype(jnp.uint8),
+        jnp.broadcast_to((rounds16 & 0xFF).astype(jnp.uint8), (B,))[:, None],
+        jnp.broadcast_to((rounds16 >> 8).astype(jnp.uint8), (B,))[:, None],
     ], axis=1)
 
 
@@ -188,14 +194,16 @@ class GraphSampler:
         edges = take(N * N * E).reshape(B, N, N, E).astype(np.float32)
         n_nodes = take(1)[:, 0].astype(np.int32)
         term = take(1)[:, 0].astype(np.int8)
-        t_count = take(1)[:, 0].astype(np.int32)
+        t_lo = take(1)[:, 0].astype(np.uint16)
+        t_hi = take(1)[:, 0].astype(np.uint16)
+        t_count = (t_lo | (t_hi << 8)).astype(np.int32)
         acts_lo = take(L).astype(np.uint16)
         acts_hi = take(L).astype(np.uint16)
         acts = (acts_lo | (acts_hi << 8)).astype(np.int32)
         ll = np.ascontiguousarray(take(L * 4)).view(np.float32)
         if ll.shape != (B, L):
             ll = ll.reshape(B, L)
-        rounds = int(take(1)[0, 0])
+        rounds = int(take(1)[0, 0]) | (int(take(1)[0, 0]) << 8)
 
         graphs = [MolGraph(self.cfg, nodes[i], edges[i], int(n_nodes[i]))
                   for i in range(self.batch_size)]

@@ -63,6 +63,21 @@ def epoch_permutation(n_rows: int, batch_size: int,
     return padded.reshape(n_batches, batch_size)
 
 
+def nll_row_batches(n_total: int, max_rows: int, batch_size: int,
+                    rng: np.random.Generator) -> np.ndarray:
+    """(n_batches, batch_size) int32 row ids for an NLL evaluation pass:
+    ``min(n_total, max_rows)`` rows drawn uniformly (without replacement)
+    from the WHOLE dataset -- a fresh draw per call, so repeated evaluations
+    see the tail too (a fixed leading-rows sample would bias the UC-JSD
+    train/valid arms).  Padding slots are -1 (masked in the loss)."""
+    n = min(n_total, max_rows)
+    order = rng.permutation(n_total)[:n].astype(np.int32)
+    n_batches = (n + batch_size - 1) // batch_size
+    padded = np.full(n_batches * batch_size, -1, np.int32)
+    padded[:n] = order
+    return padded.reshape(n_batches, batch_size)
+
+
 def _gather_batch(data: DeviceDataset, idx: jnp.ndarray, compute_dtype
                   ) -> Dict[str, jnp.ndarray]:
     safe = jnp.maximum(idx, 0)

@@ -21,10 +21,16 @@ Key mapping (reference module attribute -> our param pytree):
 
 The reference MLP wraps each linear in [Linear, SELU, AlphaDropout]
 (gnn/modules.py:160-164), so linears sit at Sequential indices 0, 3, 6, ...
-Supports v2.0 checkpoints (plain state_dict).  v1.0 checkpoints pickle the
-whole module object and can only be unpickled where the reference package
-is importable (reference util.py:828-850) -- convert those to a state_dict
-first.
+Supports both checkpoint generations (reference util.py:828-850):
+
+* v2.0: plain ``state_dict`` -- loaded directly;
+* v1.0: the whole ``nn.Module`` object was pickled.  When the reference
+  package is importable the module unpickles normally and its
+  ``state_dict()`` is used; when it is NOT importable, a stub unpickler
+  substitutes placeholder classes for the reference's module classes and
+  the state_dict is reconstructed by walking the ``_parameters`` /
+  ``_buffers`` / ``_modules`` dicts (torch's own pickle layout), so v1.0
+  checkpoints migrate without installing the reference.
 """
 
 from __future__ import annotations
@@ -153,11 +159,71 @@ def _validate(cfg: GraphInventConfig, params: Params) -> None:
                 f"with the same dataset/hyperparameters)")
 
 
+class _StubModule:
+    """Placeholder for classes that cannot be imported while unpickling a
+    v1.0 whole-module checkpoint (the reference's gnn.mpnn.* classes)."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        pass
+
+    def __setstate__(self, state) -> None:
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+def _stub_pickle_module():
+    """A pickle-module shim whose Unpickler falls back to stub classes for
+    anything unimportable; torch's tensor reconstruction functions import
+    normally so the weights come through intact."""
+    import pickle
+    import types
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_StubModule,), {"__module__": module})
+
+    m = types.ModuleType("graphinvent_tpu._stub_pickle")
+    m.Unpickler = Unpickler
+    m.load = pickle.load
+    m.loads = pickle.loads
+    return m
+
+
+def _state_dict_from_module_obj(obj, prefix: str = "") -> Dict[str, Any]:
+    """Rebuilds ``state_dict()`` from a (possibly stub-class) unpickled
+    nn.Module object graph: torch modules pickle their tensors under the
+    ``_parameters`` / ``_buffers`` dicts and submodules under ``_modules``."""
+    out: Dict[str, Any] = {}
+    d = getattr(obj, "__dict__", {}) or {}
+    for name, p in (d.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = p
+    for name, b in (d.get("_buffers") or {}).items():
+        if b is not None:
+            out[prefix + name] = b
+    for name, sub in (d.get("_modules") or {}).items():
+        if sub is not None:
+            out.update(_state_dict_from_module_obj(sub, prefix + name + "."))
+    return out
+
+
 def load_torch_checkpoint(cfg: GraphInventConfig, path: str) -> Params:
-    """Loads a reference ``.pth`` checkpoint file (v2.0 state_dict format;
-    a v1.0 whole-module pickle is accepted when it unpickles)."""
+    """Loads a reference ``.pth`` checkpoint file: v2.0 state_dict, or a
+    v1.0 whole-module pickle (with or without the reference importable)."""
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
-        obj = obj.state_dict()      # v1.0: whole module was pickled
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        obj = torch.load(path, map_location="cpu", weights_only=False,
+                         pickle_module=_stub_pickle_module())
+    if not isinstance(obj, dict):
+        if isinstance(obj, _StubModule) or not hasattr(obj, "state_dict"):
+            obj = _state_dict_from_module_obj(obj)   # v1.0 via stub classes
+        else:
+            obj = obj.state_dict()                   # v1.0, class importable
     return params_from_torch_state_dict(cfg, obj)

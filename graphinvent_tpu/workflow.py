@@ -164,10 +164,12 @@ class Workflow:
                     np.random.default_rng(0)))
                 return float(valid_epoch_fn(params, perm))
 
+            nll_rng = np.random.default_rng(cfg.seed + 1)
+
             def dataset_nlls(which, max_rows):
-                n = min(sizes[which], max_rows)
-                perm = jnp.asarray(epoch_permutation(
-                    n, cfg.batch_size, np.random.default_rng(1)))
+                from graphinvent_tpu.train.device_data import nll_row_batches
+                perm = jnp.asarray(nll_row_batches(
+                    sizes[which], max_rows, cfg.batch_size, nll_rng))
                 nlls, valid = nll_fns[which](params, perm)
                 nlls, valid = np.asarray(nlls), np.asarray(valid)
                 return nlls[valid > 0]

@@ -117,7 +117,8 @@ def test_emn_packed_matches_dense():
     )
 
     cfg = tiny_config("EMN")
-    assert _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2 or True
+    # the packed path must actually be selectable for this config
+    assert _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2
     params = init_model(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(3)
     B, N = 16, cfg.max_n_nodes

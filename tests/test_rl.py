@@ -97,3 +97,21 @@ def test_fingerprint_properties():
     assert tanimoto(a, b) == 1.0
     assert tanimoto(a, c) < 0.5
     assert a.sum() > 0
+
+
+def test_scoring_raises_on_missing_qsar_model():
+    """A configured activity component whose model file is absent must fail
+    at construction, not silently zero the reward (reference hard-loads the
+    pickle at startup, parameters/constants.py:250-256)."""
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+    cfg = tiny_config("GGNN", score_components=("drd2_activity",),
+                      score_thresholds=(0.5,), score_type="binary",
+                      qsar_models={"drd2_activity": "/nonexistent/model.pkl"})
+    with pytest.raises(FileNotFoundError):
+        ScoringFunction(cfg)
+    # ... and a component with no qsar_models entry at all fails too
+    cfg2 = tiny_config("GGNN", score_components=("drd2_activity",),
+                       score_thresholds=(0.5,), score_type="binary",
+                       qsar_models={})
+    with pytest.raises(FileNotFoundError):
+        ScoringFunction(cfg2)

@@ -176,3 +176,64 @@ def test_latest_checkpoint_finds_pth(tmp_path):
     (tmp_path / "model_restart_10.ckpt").write_bytes(b"x")
     path, epoch = latest_checkpoint(str(tmp_path))
     assert epoch == 10 and path.endswith(".ckpt")
+
+
+def test_v1_whole_module_import_without_reference(tmp_path):
+    """A v1.0 checkpoint (whole nn.Module pickled, reference util.py:828-850)
+    loads even when the class's package is NOT importable: the stub
+    unpickler reconstructs the state_dict from torch's pickle layout."""
+    torch = pytest.importorskip("torch")
+    import sys
+    import types
+
+    cfg = tiny_config("MNN")
+    template = init_model(cfg, jax.random.PRNGKey(0))
+
+    def torch_mlp(tmpl):
+        wrap = torch.nn.Module()
+        seq = torch.nn.Sequential()
+        for l, lp in enumerate(tmpl["layers"]):
+            lin = torch.nn.Linear(lp["w"].shape[1], lp["w"].shape[0])
+            with torch.no_grad():
+                lin.weight.fill_(float(l) + 0.25)
+                lin.bias.fill_(float(l) + 0.75)
+            seq.append(lin)
+            seq.append(torch.nn.SELU())
+            seq.append(torch.nn.AlphaDropout())
+        wrap.seq = seq
+        return wrap
+
+    # fake "reference" package that will be unimportable at load time
+    fake = types.ModuleType("fake_reference_gnn")
+
+    class FakeMNN(torch.nn.Module):
+        pass
+    FakeMNN.__module__ = "fake_reference_gnn"
+    FakeMNN.__qualname__ = "FakeMNN"
+    fake.FakeMNN = FakeMNN
+    sys.modules["fake_reference_gnn"] = fake
+    try:
+        m = FakeMNN()
+        m.message_weights = torch.nn.Parameter(
+            torch.arange(np.prod(template["message_weights"].shape),
+                         dtype=torch.float32
+                         ).reshape(template["message_weights"].shape))
+        m.gru = torch.nn.GRUCell(cfg.message_size, cfg.hidden_node_features)
+        apd = torch.nn.Module()
+        for ours, ref in [("f_add_1", "fAddNet1"), ("f_conn_1", "fConnNet1"),
+                          ("f_add_2", "fAddNet2"), ("f_conn_2", "fConnNet2"),
+                          ("f_term_2", "fTermNet2")]:
+            setattr(apd, ref, torch_mlp(template["apd"][ours]))
+        m.APDReadout = apd
+        path = str(tmp_path / "model_restart_0.pth")
+        torch.save(m, path)
+        expected_gru_ih = m.gru.weight_ih.detach().numpy().copy()
+    finally:
+        del sys.modules["fake_reference_gnn"]
+
+    params = load_torch_checkpoint(cfg, path)   # FakeMNN is not importable
+    np.testing.assert_array_equal(
+        np.asarray(params["message_weights"]).ravel(),
+        np.arange(np.prod(template["message_weights"].shape), dtype=np.float32))
+    np.testing.assert_array_equal(params["gru"]["w_ih"], expected_gru_ih)
+    assert np.all(params["apd"]["f_add_1"]["layers"][1]["w"] == 1.25)
