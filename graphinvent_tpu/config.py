@@ -150,6 +150,19 @@ class GraphInventConfig:
     # ---- parallelism ---------------------------------------------------
     dp_devices: int = 0                  # 0 => all visible devices on the data axis
     mp_devices: int = 1                  # model-parallel axis size (APD head sharding)
+    # edge-partitioned graph sharding (the sequence-parallel analogue,
+    # SURVEY.md §2.2): node/neighbor axes of every (B,N,·)/(B,N,N,·)
+    # activation shard over the mesh's ``graph`` axis; XLA turns the message
+    # contraction into local partials + reduce-scatter over ICI.
+    graph_devices: int = 1
+    # multi-host execution (parallel/multihost.py): every process runs the
+    # same job with host 0's ip:port here, plus num_processes and a unique
+    # process_id (or the GRAPHINVENT_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+    # environment variables).  batch_size stays GLOBAL; each host feeds
+    # batch_size // num_processes rows from its own block shard.
+    coordinator_address: str = ""
+    num_processes: int = 1
+    process_id: int = -1                 # -1 => from env
 
     # ---- model hyperparameters (filled from MODEL_PRESETS) -------------
     hidden_node_features: int = 100

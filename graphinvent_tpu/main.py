@@ -35,6 +35,15 @@ def main() -> None:
     if overrides:
         cfg = cfg.replace(**overrides)
 
+    # multi-host wiring must happen before any jax backend use (no-op for
+    # single-process jobs; parallel/multihost.py)
+    from graphinvent_tpu.parallel.multihost import init_distributed
+    if init_distributed(cfg):
+        import jax
+        print(f"* Multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices", flush=True)
+
     print(f"* Running {cfg.job_type} job ({cfg.model}) in {cfg.job_dir}",
           flush=True)
     Workflow(cfg).run()

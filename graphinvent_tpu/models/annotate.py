@@ -80,3 +80,11 @@ def edge_axis(x: jax.Array) -> jax.Array:
 def per_type_node_axis(x: jax.Array) -> jax.Array:
     """(E, B, N, ...) per-edge-type node activations."""
     return constrain(x, None, "data", "graph")
+
+
+def pair_axis(x: jax.Array) -> jax.Array:
+    """(B, N, N, ...) dense node-pair activations (attention energies, EMN
+    edge memories): the *neighbor* (second node) axis shards over ``graph``
+    -- the N^2 tensor the reference materialises whole
+    (gnn/summation_mpnn.py:106-144, parameters/load.py:53)."""
+    return constrain(x, "data", None, "graph")

@@ -38,6 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from graphinvent_tpu.config import GraphInventConfig
+from graphinvent_tpu.models.annotate import (
+    edge_axis, node_axis, pair_axis, per_type_node_axis,
+)
 from graphinvent_tpu.models.core import (
     Params, gru_cell, init_gru_cell, init_mlp, init_stacked_mlp, mlp,
     stacked_mlp,
@@ -62,21 +65,29 @@ def _prepare(cfg: GraphInventConfig, nodes: jnp.ndarray, edges: jnp.ndarray
     B, N, Fn = nodes.shape
     hidden = jnp.zeros((B, N, cfg.hidden_node_features), dt)
     hidden = hidden.at[:, :, :Fn].set(nodes)
-    return hidden, adjacency, degree, node_mask
+    # under an edge_sharding mesh (graph axis > 1) the node axis shards
+    # here; every subsequent per-node op stays local to its shard
+    return node_axis(hidden), adjacency, degree, node_mask
 
 
 def _masked_update(gru_params: Params, messages: jnp.ndarray,
                    hidden: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
     """GRU update applied only to nodes with degree >= 1."""
     updated = gru_cell(gru_params, messages, hidden)
-    return jnp.where(node_mask[..., None], updated, hidden)
+    return node_axis(jnp.where(node_mask[..., None], updated, hidden))
 
 
 def _edge_type_contraction(edges: jnp.ndarray, per_type: jnp.ndarray
                            ) -> jnp.ndarray:
-    """m_i = sum_e sum_j edges[b,i,j,e] * per_type[e,b,j,m] as one einsum."""
-    return jnp.einsum("bije,ebjm->bim", edges, per_type,
-                      preferred_element_type=jnp.float32).astype(per_type.dtype)
+    """m_i = sum_e sum_j edges[b,i,j,e] * per_type[e,b,j,m] as one einsum.
+
+    Under edge sharding, per_type is node-sharded on j (the graph axis):
+    XLA computes per-device partial sums over the local j-shard and the
+    node_axis constraint on the output turns the combine into a
+    reduce-scatter -- the halo exchange of SURVEY.md §2.2, compiler-placed."""
+    out = jnp.einsum("bije,ebjm->bim", edges, per_type,
+                     preferred_element_type=jnp.float32).astype(per_type.dtype)
+    return node_axis(out)
 
 
 def _readout_keys(rng: Optional[jax.Array], n: int):
@@ -113,9 +124,10 @@ def apply_mnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     W = params["message_weights"].astype(hidden.dtype)   # (M, H, E)
     for _ in range(cfg.message_passes):
         # per edge type e: Y_e = H @ W[:,:,e]^T  -> (E, B, N, M)
-        per_type = jnp.einsum("bnh,mhe->ebnm", hidden, W,
-                              preferred_element_type=jnp.float32
-                              ).astype(hidden.dtype)
+        per_type = per_type_node_axis(
+            jnp.einsum("bnh,mhe->ebnm", hidden, W,
+                       preferred_element_type=jnp.float32
+                       ).astype(hidden.dtype))
         messages = _edge_type_contraction(edges, per_type)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
     graph_emb = jnp.sum(hidden, axis=1)   # (reference mpnn.py:70-74)
@@ -165,9 +177,10 @@ def apply_s2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
     M = _enn_matrices(cfg, params["enn"], hidden.dtype, train, keys[0])
     for _ in range(cfg.message_passes):
-        per_type = jnp.einsum("bnh,emh->ebnm", hidden, M,
-                              preferred_element_type=jnp.float32
-                              ).astype(hidden.dtype)
+        per_type = per_type_node_axis(
+            jnp.einsum("bnh,emh->ebnm", hidden, M,
+                       preferred_element_type=jnp.float32
+                       ).astype(hidden.dtype))
         messages = _edge_type_contraction(edges, per_type)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
     graph_emb = set2vec(params["s2v"], hidden, nodes, node_mask,
@@ -234,12 +247,12 @@ def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
             messages = _packed_attention_messages(cfg, packing,
                                                   per_type, att_stack)
         else:
-            msg_terms = jnp.einsum("bije,ebjm->bijm", edges, per_type,
-                                   preferred_element_type=jnp.float32
-                                   ).astype(dt)
-            energies = jnp.einsum("bije,ebjm->bijm", edges, att_stack,
-                                  preferred_element_type=jnp.float32
-                                  ).astype(dt)
+            msg_terms = pair_axis(
+                jnp.einsum("bije,ebjm->bijm", edges, per_type,
+                           preferred_element_type=jnp.float32).astype(dt))
+            energies = pair_axis(
+                jnp.einsum("bije,ebjm->bijm", edges, att_stack,
+                           preferred_element_type=jnp.float32).astype(dt))
             energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_negative
             weights = jax.nn.softmax(
                 energies + energy_mask[..., None], axis=2)
@@ -286,8 +299,9 @@ def apply_ggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     keys = _readout_keys(rng, 3)
     hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
     for _ in range(cfg.message_passes):
-        per_type = stacked_mlp(params["msg_nns"], hidden, cfg.enn_dropout_p,
-                               train, keys[0])             # (E, B, N, M)
+        per_type = per_type_node_axis(
+            stacked_mlp(params["msg_nns"], hidden, cfg.enn_dropout_p,
+                        train, keys[0]))                   # (E, B, N, M)
         messages = _edge_type_contraction(edges, per_type)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
     graph_emb = graph_gather(params["gather"], hidden, nodes, node_mask,
@@ -347,12 +361,12 @@ def apply_attggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
             messages = _packed_attention_messages(cfg, packing,
                                                   emb_per_type, att_per_type)
         else:
-            embedding = jnp.einsum("bije,ebjm->bijm", edges, emb_per_type,
-                                   preferred_element_type=jnp.float32
-                                   ).astype(dt)
-            energies = jnp.einsum("bije,ebjm->bijm", edges, att_per_type,
-                                  preferred_element_type=jnp.float32
-                                  ).astype(dt)
+            embedding = pair_axis(
+                jnp.einsum("bije,ebjm->bijm", edges, emb_per_type,
+                           preferred_element_type=jnp.float32).astype(dt))
+            energies = pair_axis(
+                jnp.einsum("bije,ebjm->bijm", edges, att_per_type,
+                           preferred_element_type=jnp.float32).astype(dt))
             energy_mask = (1.0 - adj_mask.astype(dt)) * cfg.big_positive
             attention = jax.nn.softmax(
                 energies - energy_mask[..., None], axis=2)
@@ -483,8 +497,8 @@ def _packed_attention_messages(cfg: GraphInventConfig, packing,
             out = out + type_oh[:, :, t, None].astype(dt) * rows
         return out
 
-    att_sel = select(att_per_type)
-    emb_sel = select(emb_per_type)
+    att_sel = edge_axis(select(att_per_type))
+    emb_sel = edge_axis(select(emb_per_type))
 
     neg_inf = jnp.asarray(cfg.big_negative, dt)
     masked = jnp.where(valid[..., None], att_sel, neg_inf)
@@ -502,7 +516,7 @@ def _packed_attention_messages(cfg: GraphInventConfig, packing,
     p = S > 0
     T_safe = jnp.where(p, T, 0.0)
     S_safe = jnp.where(p, jnp.maximum(S, 1e-30), 1.0)
-    return (T_safe / S_safe).astype(dt)
+    return node_axis((T_safe / S_safe).astype(dt))
 
 
 def apply_emn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
@@ -568,24 +582,27 @@ def apply_emn_packed(cfg: GraphInventConfig, params: Params,
     e_feat = jnp.take_along_axis(edges.reshape(B, NN, E), sel[..., None],
                                  axis=1)
     cat = jnp.concatenate([x_s, x_t, e_feat], axis=-1)
-    E_emb = jnp.tanh(mlp(params["embedding_nn"], cat,
-                         cfg.edge_emb_dropout_p, train, keys[0])) * valid_f
+    E_emb = edge_axis(jnp.tanh(mlp(params["embedding_nn"], cat,
+                                   cfg.edge_emb_dropout_p, train,
+                                   keys[0])) * valid_f)
 
     att_self = mlp(params["att_msg_nn"], E_emb, cfg.att_dropout_p,
                    train, keys[1])                     # (B,E_cap,D)
     emb_self = mlp(params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
                    train, keys[2])
 
-    memories = jnp.zeros((B, E_cap, D), dt)
+    memories = edge_axis(jnp.zeros((B, E_cap, D), dt))
     neg_inf = jnp.asarray(cfg.big_negative, dt)
 
     def contract(inc, val):          # (B,E_cap,N),(B,E_cap,D) -> (B,N,D)
-        return jnp.einsum("ben,bed->bnd", inc, val,
-                          preferred_element_type=jnp.float32).astype(dt)
+        return node_axis(jnp.einsum("ben,bed->bnd", inc, val,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dt))
 
     def at_src(per_node):            # (B,N,D) -> (B,E_cap,D)
-        return jnp.einsum("ben,bnd->bed", src_oh, per_node,
-                          preferred_element_type=jnp.float32).astype(dt)
+        return edge_axis(jnp.einsum("ben,bnd->bed", src_oh, per_node,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dt))
 
     for _ in range(cfg.message_passes):
         att_mem = mlp(params["att_msg_nn"], memories, cfg.att_dropout_p,
@@ -616,11 +633,13 @@ def apply_emn_packed(cfg: GraphInventConfig, params: Params,
         numer_safe = jnp.where(valid[..., None], numer, 0.0)
         message = numer_safe / Z_safe
 
-        new_mem = gru_cell(params["gru"], message.reshape(-1, D),
-                           jnp.zeros((B * E_cap, D), dt)).reshape(B, E_cap, D)
-        memories = new_mem * valid_f
+        # gru_cell maps over leading dims; applying it on (B, E_cap, D)
+        # directly keeps the edge axis shardable (a reshape to (B*E_cap, D)
+        # would merge the graph-sharded axis into batch)
+        new_mem = gru_cell(params["gru"], message, jnp.zeros((B, E_cap, D), dt))
+        memories = edge_axis(new_mem * valid_f)
 
-    graph_sets = contract(src_oh, memories)                      # (B,N,D)
+    graph_sets = node_axis(contract(src_oh, memories))           # (B,N,D)
 
     graph_emb = graph_gather(params["gather"], graph_sets, graph_sets,
                              node_mask, cfg.big_positive,
@@ -657,14 +676,14 @@ def apply_emn_dense(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     cat = jnp.concatenate([x_i, x_j, edges], axis=-1)
     E_emb = jnp.tanh(mlp(params["embedding_nn"], cat,
                          cfg.edge_emb_dropout_p, train, keys[0]))
-    E_emb = E_emb * adj_f[..., None]
+    E_emb = pair_axis(E_emb * adj_f[..., None])
 
     att_self = mlp(params["att_msg_nn"], E_emb, cfg.att_dropout_p,
                    train, keys[1])                    # (B,N,N,D)
     emb_self = mlp(params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
                    train, keys[2])
 
-    memories = jnp.zeros((B, N, N, D), dt)
+    memories = pair_axis(jnp.zeros((B, N, N, D), dt))
     neg_inf = jnp.asarray(cfg.big_negative, dt)
 
     for _ in range(cfg.message_passes):
@@ -703,13 +722,13 @@ def apply_emn_dense(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
         numer_safe = jnp.where(edge_m, numer, 0.0)
         message = numer_safe / Z_safe
 
-        new_mem = gru_cell(params["gru"], message.reshape(-1, D),
-                           jnp.zeros((B * N * N, D), dt)).reshape(B, N, N, D)
-        memories = new_mem * adj_f[..., None]
+        new_mem = gru_cell(params["gru"], message,
+                           jnp.zeros((B, N, N, D), dt))
+        memories = pair_axis(new_mem * adj_f[..., None])
 
     # node representations: sum of outgoing-edge memories
     # (edge_mpnn.py:176-189: node i collects memories of edges (i, j))
-    graph_sets = jnp.sum(memories, axis=2)             # (B,N,D)
+    graph_sets = node_axis(jnp.sum(memories, axis=2))  # (B,N,D)
 
     graph_emb = graph_gather(params["gather"], graph_sets, graph_sets,
                              node_mask, cfg.big_positive,

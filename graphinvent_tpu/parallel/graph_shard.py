@@ -14,6 +14,14 @@ activation memory scale 1/shards; the collective moves (B, N, M) messages
 per pass, which overlaps with the next type's aggregation under XLA's
 scheduler.  This is the all-to-all/psum halo-exchange design promised in
 BASELINE.json, expressed with shard_map.
+
+Role: the *production* edge-partitioned training mode is the
+annotation-based path (``graph_devices=G`` -> models/annotate.py +
+parallel/mesh.py), where the same partitioning is induced by
+with_sharding_constraint hints and XLA's SPMD partitioner -- gradients
+included.  This module keeps the collectives explicit as a cross-check
+oracle: tests/test_parallel.py asserts both paths equal the dense
+replicated forward.
 """
 
 from __future__ import annotations

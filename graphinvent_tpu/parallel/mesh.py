@@ -37,14 +37,22 @@ Params = Any
 
 def make_mesh(cfg: GraphInventConfig,
               devices: Optional[list] = None) -> Mesh:
+    """3-axis mesh ``(data, model, graph)``.
+
+    ``graph`` is the edge-partitioning axis (the sequence-parallel analogue
+    for the (B, N, N, E) edge tensor, SURVEY.md §2.2): activations with a
+    node/neighbor axis carry ``with_sharding_constraint`` hints over it (see
+    models/annotate.py) so XLA partitions the per-edge-type message
+    contraction into local partials + a reduce-scatter."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     mp = max(1, cfg.mp_devices)
-    dp = cfg.dp_devices if cfg.dp_devices > 0 else n // mp
-    if dp * mp != n:
-        raise ValueError(f"dp({dp}) * mp({mp}) != n_devices({n})")
-    dev_array = np.asarray(devices).reshape(dp, mp)
-    return Mesh(dev_array, axis_names=("data", "model"))
+    gp = max(1, cfg.graph_devices)
+    dp = cfg.dp_devices if cfg.dp_devices > 0 else n // (mp * gp)
+    if dp * mp * gp != n:
+        raise ValueError(f"dp({dp}) * mp({mp}) * graph({gp}) != n_devices({n})")
+    dev_array = np.asarray(devices).reshape(dp, mp, gp)
+    return Mesh(dev_array, axis_names=("data", "model", "graph"))
 
 
 # --------------------------------------------------------------------------
@@ -96,9 +104,11 @@ def shard_params(mesh: Mesh, params: Params,
 
 def _shardable_head(params: Params, mesh: Mesh) -> bool:
     """TP sharding of the head requires layer widths divisible by the model
-    axis; fall back to replicated otherwise."""
+    axis; fall back to replicated otherwise.  Multi-host runs keep params
+    replicated so every host holds full copies for checkpointing and local
+    evaluation (parallel/multihost.py:to_host)."""
     mp = mesh.shape["model"]
-    if mp == 1:
+    if mp == 1 or jax.process_count() > 1:
         return False
     ok = [True]
 
@@ -124,7 +134,15 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
     The step is an ordinary jit with in/out shardings; batch sharded over
     ``data``, selected head params over ``model``, everything else
     replicated.  Gradient reduction and TP collectives are inserted by XLA.
+
+    When the mesh's ``graph`` axis is non-trivial the step traces inside an
+    ``edge_sharding`` context, activating the with_sharding_constraint hints
+    in the model forwards (models/annotate.py): hidden states and messages
+    shard their node axis, packed edge memories their edge axis.  Inputs
+    stay data-sharded (graph resharding happens on the first constrained
+    activation), so no divisibility requirement is imposed on the batch.
     """
+    from graphinvent_tpu.models.annotate import edge_sharding
     tp = _shardable_head(params, mesh)
     pspecs = param_specs(params, tp)
     p_shardings = jax.tree_util.tree_map(
@@ -148,11 +166,17 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
         in_shardings=(p_shardings, opt_shardings, b_shardings, rng_sharding),
         out_shardings=(p_shardings, opt_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
+    def _train_step(params, opt_state, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         lr, beta1 = schedule(opt_state.step)
         params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
         return params, opt_state, loss
+
+    def train_step(params, opt_state, batch, rng):
+        # the context only matters while the jit traces (first call); after
+        # that it's a no-op wrapper
+        with edge_sharding(mesh):
+            return _train_step(params, opt_state, batch, rng)
 
     sharded_params = jax.tree_util.tree_map(
         lambda p, s: jax.device_put(jnp.asarray(p), s), params, p_shardings)

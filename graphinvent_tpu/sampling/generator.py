@@ -66,7 +66,8 @@ class SampleResult:
 
 
 def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
-                 batch_size: int, apply_fn: Callable) -> Tuple[jnp.ndarray, ...]:
+                 batch_size: int, apply_fn: Callable,
+                 mesh=None) -> Tuple[jnp.ndarray, ...]:
     B = batch_size
     N = cfg.max_n_nodes
     Fn = cfg.n_node_features
@@ -87,6 +88,17 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         term=jnp.zeros((B,), jnp.bool_),         # properly terminated
         rounds=jnp.zeros((), jnp.int32),
     )
+    if mesh is not None:
+        # data-parallel sampling: every batched loop-carry shards its batch
+        # axis over ``data`` (rows are independent -- the whole rollout
+        # partitions with zero collectives, reference GraphGenerator.py:48-96
+        # had one GPU)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        row_sh = NamedSharding(mesh, P("data"))
+        init = {k: (jax.lax.with_sharding_constraint(v, row_sh)
+                    if hasattr(v, "ndim") and v.ndim >= 1 and
+                    v.shape[0] == B else v)
+                for k, v in init.items()}
 
     def cond(c):
         return (~jnp.all(c["done"])) & (c["rounds"] < max_rounds)
@@ -163,16 +175,20 @@ class GraphSampler:
     GraphGenerator.py:48-96)."""
 
     def __init__(self, cfg: GraphInventConfig, batch_size: int,
-                 apply_fn: Optional[Callable] = None) -> None:
+                 apply_fn: Optional[Callable] = None, mesh=None) -> None:
+        """``mesh``: optional device mesh with a ``data`` axis; the rollout
+        then runs data-parallel across it (rows are independent, so
+        throughput scales with the axis size)."""
         self.cfg = cfg
         self.batch_size = batch_size
+        self.mesh = mesh
         apply_fn = apply_fn or (
             lambda params, nodes, edges: apply_model(cfg, params, nodes, edges))
         # loop + pack in ONE program: a single dispatch and a single
         # device->host fetch per batch
         self._jitted = jax.jit(
             lambda params, key: _pack_outputs(
-                *_sample_loop(cfg, params, key, batch_size, apply_fn)))
+                *_sample_loop(cfg, params, key, batch_size, apply_fn, mesh)))
 
     def sample(self, params: Params, key: jax.Array,
                quiet: bool = False) -> SampleResult:

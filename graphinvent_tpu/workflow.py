@@ -36,6 +36,13 @@ from graphinvent_tpu.utils.checkpoint import (
 from graphinvent_tpu.utils.logging import JobLogger
 
 
+def _scalar_int(x) -> int:
+    """int() accepting python ints, local arrays, and multihost-replicated
+    global arrays (parallel/multihost.py:scalar)."""
+    from graphinvent_tpu.parallel.multihost import scalar
+    return int(scalar(x))
+
+
 class Workflow:
     def __init__(self, cfg: GraphInventConfig) -> None:
         cfg.validate()
@@ -51,13 +58,30 @@ class Workflow:
         self.valid_h5 = os.path.join(d, "valid.h5")
         self.test_h5 = os.path.join(d, "test.h5")
         self._samplers: Dict[int, GraphSampler] = {}
+        self._mesh = None
+
+    def _sampler_mesh(self):
+        """Mesh for data-parallel sampling: rollouts shard over ``data``
+        whenever a single-process device mesh is configured.  Multi-host
+        jobs sample per-host with local params instead (each host's
+        evaluation is independent)."""
+        cfg = self.cfg
+        if jax.process_count() > 1:
+            return None
+        if cfg.dp_devices > 1 or cfg.mp_devices > 1 or cfg.graph_devices > 1:
+            if self._mesh is None:
+                from graphinvent_tpu.parallel import make_mesh
+                self._mesh = make_mesh(cfg)
+            return self._mesh
+        return None
 
     def _get_sampler(self, batch_size: int) -> GraphSampler:
         """One GraphSampler (= one compiled program) per batch size for the
         whole job: rebuilding it per evaluation re-traces and re-loads the
         program every time (~6 s/eval through the TPU tunnel)."""
         if batch_size not in self._samplers:
-            self._samplers[batch_size] = GraphSampler(self.cfg, batch_size)
+            self._samplers[batch_size] = GraphSampler(
+                self.cfg, batch_size, mesh=self._sampler_mesh())
         return self._samplers[batch_size]
 
     # ------------------------------------------------------------------
@@ -121,13 +145,25 @@ class Workflow:
         valid_ds = HDFDataset(self.valid_h5)
         ts_props = self._load_ts_properties()
         analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
-        if not cfg.restart:
+        primary = jax.process_index() == 0
+        if not cfg.restart and primary:
             self.logger.init_convergence()
             if ts_props:
                 self.logger.properties_to_csv(ts_props, "Training set",
                                               append=False)
 
-        n_batches = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size
+        n_proc = jax.process_count()
+        if n_proc > 1 and cfg.batch_size % n_proc:
+            raise ValueError(f"batch_size={cfg.batch_size} must divide by "
+                             f"num_processes={n_proc} (global batch, per-host "
+                             f"shards of batch_size/num_processes rows)")
+        local_bs = cfg.batch_size // n_proc
+        if n_proc > 1:
+            from graphinvent_tpu.parallel.multihost import global_steps_per_epoch
+            n_batches = global_steps_per_epoch(len(train_ds), local_bs,
+                                               cfg.block_size, n_proc)
+        else:
+            n_batches = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size
         schedule = onecycle_for_config(cfg, n_batches)
         params, opt_state, start_epoch = self._init_or_restore(n_batches)
 
@@ -135,7 +171,8 @@ class Workflow:
             DeviceDataset, epoch_permutation, make_epoch_eval_fn,
             make_epoch_nll_fn, make_epoch_train_fn,
         )
-        multi_device = cfg.dp_devices > 1 or cfg.mp_devices > 1
+        multi_device = (cfg.dp_devices > 1 or cfg.mp_devices > 1
+                        or cfg.graph_devices > 1 or n_proc > 1)
         use_device = (not multi_device and DeviceDataset.fits(train_ds)
                       and DeviceDataset.fits(valid_ds))
         rng_np = np.random.default_rng(cfg.seed)
@@ -174,21 +211,33 @@ class Workflow:
                 nlls, valid = np.asarray(nlls), np.asarray(valid)
                 return nlls[valid > 0]
         else:
-            train_loader = BlockLoader(train_ds, cfg.batch_size,
-                                       cfg.block_size, seed=cfg.seed)
-            valid_loader = BlockLoader(valid_ds, cfg.batch_size,
+            # per-host input shards: each process reads only its round-robin
+            # share of the blocks (reference analogue: the *manual* split
+            # flow of tools/combine_HDFs.py + tutorial 6, now built in)
+            shard_kw = dict(shard_index=jax.process_index(),
+                            num_shards=n_proc) if n_proc > 1 else {}
+            train_loader = BlockLoader(train_ds, local_bs,
+                                       cfg.block_size, seed=cfg.seed,
+                                       **shard_kw)
+            valid_loader = BlockLoader(valid_ds, local_bs,
                                        cfg.block_size, shuffle=False,
-                                       seed=cfg.seed)
+                                       seed=cfg.seed, **shard_kw)
             if multi_device:
                 from graphinvent_tpu.parallel import (
                     make_mesh, make_sharded_train_step,
                 )
                 mesh = make_mesh(cfg)
-                print(f"-- Sharded training over mesh {dict(mesh.shape)}.",
-                      flush=True)
+                print(f"-- Sharded training over mesh {dict(mesh.shape)}"
+                      f" ({n_proc} process(es)).", flush=True)
                 train_step, params, place_batch = make_sharded_train_step(
                     cfg, schedule, mesh, params)
                 opt_state = adam_init(params)
+                if n_proc > 1:
+                    from graphinvent_tpu.parallel.mesh import batch_spec
+                    from graphinvent_tpu.parallel.multihost import (
+                        make_global_placer,
+                    )
+                    place_batch = make_global_placer(mesh, batch_spec())
             else:
                 train_step = make_train_step(cfg, schedule)
                 place_batch = lambda b: {k: jnp.asarray(v)
@@ -197,29 +246,49 @@ class Workflow:
             nll_step = make_likelihood_step(cfg)
             loaders = {"valid": valid_loader, "train": train_loader}
 
+            def eval_params():
+                """Evaluation/sampling run per-host on local devices; with
+                multiple processes this takes the host's replicated copy of
+                the global params."""
+                if n_proc > 1:
+                    from graphinvent_tpu.parallel.multihost import to_host
+                    return jax.tree_util.tree_map(jnp.asarray,
+                                                  to_host(params))
+                return params
+
             def run_train_epoch(epoch):
                 nonlocal params, opt_state
                 train_loader.set_epoch(epoch)
                 losses = []
-                for batch in train_loader:
+                step_count = _scalar_int(opt_state.step)
+                for k, batch in enumerate(train_loader):
+                    if k >= n_batches:
+                        # multihost: every process must dispatch the same
+                        # number of global steps; n_batches is the min
+                        # shard length (parallel/multihost.py)
+                        break
                     b = place_batch(batch)
-                    rng = jax.random.fold_in(self.key, int(opt_state.step))
+                    rng = jax.random.fold_in(self.key, step_count)
                     params, opt_state, loss = train_step(params, opt_state,
                                                          b, rng)
+                    step_count += 1
                     losses.append(loss)
-                return float(jnp.mean(jnp.stack(losses)))
+                from graphinvent_tpu.parallel.multihost import scalar
+                return float(np.mean([scalar(l) for l in losses]))
 
             def run_valid_epoch():
-                vlosses = [eval_step(params, {k: jnp.asarray(v)
-                                              for k, v in batch.items()})
+                p = eval_params()
+                vlosses = [eval_step(p, {k: jnp.asarray(v)
+                                         for k, v in batch.items()})
                            for batch in valid_loader]
                 return float(jnp.mean(jnp.stack(vlosses)))
 
             def dataset_nlls(which, max_rows):
+                p = eval_params()
                 out, n = [], 0
                 for batch in loaders[which]:
                     b = {k: jnp.asarray(v) for k, v in batch.items()}
-                    nll = np.asarray(nll_step(params, b))
+                    nll = np.asarray(nll_step(p, b))
                     mask = batch["valid"] > 0
                     out.append(nll[mask])
                     n += int(mask.sum())
@@ -227,25 +296,41 @@ class Workflow:
                         break
                 return np.concatenate(out) if out else np.zeros(0)
 
+        if n_proc == 1:
+            def eval_params():          # device-resident / single-process
+                return params
+
+            def host_state():
+                return params, opt_state
+        else:
+            def host_state():
+                from graphinvent_tpu.parallel.multihost import to_host
+                return to_host(params), to_host(opt_state)
+
         print("* Beginning training.", flush=True)
         end_epoch = start_epoch + cfg.epochs
         for epoch in range(start_epoch, end_epoch):
             t0 = time.time()
             train_loss = run_train_epoch(epoch)
             valid_loss = run_valid_epoch()
-            lr, _ = schedule(opt_state.step - 1)
+            lr, _ = schedule(_scalar_int(opt_state.step) - 1)
             print(f"Epoch {epoch}: train {train_loss:.5f} valid "
                   f"{valid_loss:.5f} ({time.time()-t0:.1f}s)", flush=True)
-            self.logger.write_training_status(epoch, float(lr), train_loss,
-                                              valid_loss)
+            if primary:
+                self.logger.write_training_status(epoch, float(lr),
+                                                  train_loss, valid_loss)
 
-            if epoch % cfg.sample_every == 0:
-                self.evaluate_model(params, epoch, analyzer, dataset_nlls)
+            if epoch % cfg.sample_every == 0 and primary:
+                self.evaluate_model(eval_params(), epoch, analyzer,
+                                    dataset_nlls)
+                p_host, o_host = host_state()
                 save_checkpoint(checkpoint_path(cfg.job_dir, epoch),
-                                params, opt_state, epoch)
+                                p_host, o_host, epoch)
         final = end_epoch - 1
-        save_checkpoint(checkpoint_path(cfg.job_dir, final), params,
-                        opt_state, final)
+        if primary:
+            p_host, o_host = host_state()
+            save_checkpoint(checkpoint_path(cfg.job_dir, final), p_host,
+                            o_host, final)
 
     # ------------------------------------------------------------------
     def evaluate_model(self, params, epoch: int, analyzer: Analyzer,

@@ -1,0 +1,142 @@
+"""True multi-*process* execution test (SURVEY.md §4, §2.2 backend row).
+
+Spawns 2 coordinated processes (TCP coordinator, gloo CPU collectives), each
+feeding its own BlockLoader shard through the real training workflow, and
+asserts the result equals a single-process emulation of the same global
+batch sequence: global batch k = concat(host0 batch k, host1 batch k).
+
+The reference has nothing like this -- its host scale-out is independent
+SLURM jobs plus manual HDF merging (tools/combine_HDFs.py:120-189).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from graphinvent_tpu.config import test_config as tiny_config
+from graphinvent_tpu.workflow import Workflow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMILES = ["CC", "CCC", "CCO", "CC(C)C", "C1CC1", "OC1CC1", "NCCN", "CC#N",
+          "CCN", "CCCO", "CC(C)O", "C1CCC1"]
+EPOCHS = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def mh_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh")
+    data_dir = str(root / "data") + "/"
+    os.makedirs(data_dir)
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(data_dir, f"{split}.smi"), "w") as fh:
+            fh.write("SMILES\n")
+            for s in SMILES:
+                fh.write(s + "\n")
+    cfg = tiny_config("GGNN", job_type="preprocess", dataset_dir=data_dir,
+                      job_dir=str(root / "pre") + "/")
+    Workflow(cfg).run()
+    return data_dir, root
+
+
+def _subprocess_env():
+    env = dict(os.environ)
+    # drop the axon TPU plugin: its sitecustomize pre-registers a PJRT
+    # backend, which breaks jax.distributed on the CPU platform
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)        # 1 CPU device per process
+    return env
+
+
+def test_two_process_training_matches_single_process(mh_env):
+    data_dir, root = mh_env
+    port = _free_port()
+    procs, job_dirs = [], []
+    for pid in range(2):
+        job_dir = str(root / f"host{pid}") + "/"
+        job_dirs.append(job_dir)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_runner.py"),
+             str(pid), "2", str(port), data_dir, job_dir, str(EPOCHS)],
+            env=_subprocess_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {pid} failed:\n{out}"
+
+    # ---- single-process emulation of the identical global batch stream ----
+    import jax
+    import jax.numpy as jnp
+    from graphinvent_tpu.data import BlockLoader, HDFDataset
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.parallel.multihost import global_steps_per_epoch
+    from graphinvent_tpu.train.optim import adam_init, onecycle_for_config
+    from graphinvent_tpu.train.step import make_train_step
+
+    cfg = tiny_config("GGNN", dataset_dir=data_dir, batch_size=8,
+                      block_size=16, epochs=EPOCHS)
+    local_bs = cfg.batch_size // 2
+    ds = HDFDataset(os.path.join(data_dir, "train.h5"))
+    n_batches = global_steps_per_epoch(len(ds), local_bs, cfg.block_size, 2)
+    assert n_batches >= 2, "fixture too small to exercise multiple steps"
+    shards = [BlockLoader(ds, local_bs, cfg.block_size, seed=cfg.seed,
+                          shard_index=i, num_shards=2) for i in range(2)]
+    schedule = onecycle_for_config(cfg, n_batches)
+    step = make_train_step(cfg, schedule)
+    params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    opt_state = adam_init(params)
+    key = jax.random.PRNGKey(cfg.seed)
+    step_count = 0
+    ref_losses = []
+    for epoch in range(1, EPOCHS + 1):
+        for sh in shards:
+            sh.set_epoch(epoch)
+        losses = []
+        for k, (b0, b1) in enumerate(zip(iter(shards[0]), iter(shards[1]))):
+            if k >= n_batches:
+                break
+            batch = {kk: jnp.asarray(np.concatenate([b0[kk], b1[kk]]))
+                     for kk in b0}
+            rng = jax.random.fold_in(key, step_count)
+            params, opt_state, loss = step(params, opt_state, batch, rng)
+            step_count += 1
+            losses.append(float(loss))
+        ref_losses.append(float(np.mean(losses)))
+
+    # ---- compare: per-epoch losses from host 0's convergence.log ----------
+    conv = open(os.path.join(job_dirs[0], "convergence.log")).readlines()
+    got = [float(line.split(",")[2]) for line in conv[1:1 + EPOCHS]]
+    np.testing.assert_allclose(got, ref_losses, rtol=1e-4, atol=1e-6)
+
+    # ---- compare: final checkpoint params ---------------------------------
+    from graphinvent_tpu.utils.checkpoint import load_checkpoint
+    ckpt = os.path.join(job_dirs[0], f"model_restart_{EPOCHS}.ckpt")
+    assert os.path.exists(ckpt), "primary host wrote no final checkpoint"
+    mh_params, _, _ = load_checkpoint(ckpt)
+    for a, b in zip(jax.tree_util.tree_leaves(mh_params),
+                    jax.tree_util.tree_leaves(jax.device_get(params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # the secondary host must NOT have written checkpoints/logs
+    assert not os.path.exists(os.path.join(job_dirs[1],
+                                           f"model_restart_{EPOCHS}.ckpt"))
