@@ -115,22 +115,6 @@ def main(batch_size=1000, dtype="bfloat16"):
             jax.tree_util.tree_map(lambda g: g + c, grads),
             opt, p, 1e-4, 0.9)[0]["gru"]["b_ih"]), params)
 
-    # fused pallas message passes
-    try:
-        from graphinvent_tpu.ops.pallas_message import fused_message_pass
-
-        def fused_passes(c, p):
-            hidden, adjacency, degree, node_mask = _prepare(
-                cfg, nodes + c.astype(dt_c), edges)
-            for _ in range(cfg.message_passes):
-                hidden = fused_message_pass(cfg, p, hidden, edges, node_mask,
-                                            tile_b=64)
-            return hidden
-        timed("message passes (pallas)", scan30(fused_passes), params)
-    except Exception as exc:
-        print("pallas message pass failed:", type(exc).__name__, exc)
-
-
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     dt = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
