@@ -23,7 +23,7 @@ from graphinvent_tpu.eval.analyzer import Analyzer
 from graphinvent_tpu.eval.properties import load_ts_properties_csv
 from graphinvent_tpu.models import init_model
 from graphinvent_tpu.train.optim import (
-    AdamState, adam_init, onecycle_for_config,
+    AdamState, adam_init, ensure_opt_layout, onecycle_for_config,
 )
 from graphinvent_tpu.train.step import (
     make_eval_step, make_likelihood_step, make_train_step,
@@ -114,9 +114,11 @@ class Workflow:
             return load_ts_properties_csv(csv_path)
         return {}
 
-    def _init_or_restore(self, n_batches: int
+    def _init_or_restore(self, n_batches: int, flat_opt: bool = False
                          ) -> Tuple[Any, AdamState, int]:
-        """-> (params, opt_state, start_epoch)."""
+        """-> (params, opt_state, start_epoch).  ``flat_opt`` selects the
+        flat-moment Adam layout (optim.adam_init); checkpoints written in
+        either layout restore into either (ensure_opt_layout)."""
         cfg = self.cfg
         if cfg.restart:
             found = latest_checkpoint(cfg.job_dir)
@@ -132,10 +134,12 @@ class Workflow:
                 else:
                     params, opt_state, _ = load_checkpoint(path)
                 if opt_state is None:
-                    opt_state = adam_init(params)
+                    opt_state = adam_init(params, flat=flat_opt)
+                else:
+                    opt_state = ensure_opt_layout(opt_state, params, flat_opt)
                 return params, opt_state, epoch + 1
         params = init_model(cfg, self.key)
-        return params, adam_init(params), 1
+        return params, adam_init(params, flat=flat_opt), 1
 
     # ------------------------------------------------------------------
     def training_phase(self) -> None:
@@ -165,14 +169,18 @@ class Workflow:
         else:
             n_batches = (len(train_ds) + cfg.batch_size - 1) // cfg.batch_size
         schedule = onecycle_for_config(cfg, n_batches)
-        params, opt_state, start_epoch = self._init_or_restore(n_batches)
+        multi_device = (cfg.dp_devices > 1 or cfg.mp_devices > 1
+                        or cfg.graph_devices > 1 or n_proc > 1)
+        # single-device runs use the flat-moment Adam layout (one fused HBM
+        # pass instead of ~3 small fusions per param leaf; optim.adam_init);
+        # sharded runs keep the tree so TP param leaves keep their shardings
+        params, opt_state, start_epoch = self._init_or_restore(
+            n_batches, flat_opt=not multi_device)
 
         from graphinvent_tpu.train.device_data import (
             DeviceDataset, epoch_permutation, make_epoch_eval_fn,
             make_epoch_nll_fn, make_epoch_train_fn,
         )
-        multi_device = (cfg.dp_devices > 1 or cfg.mp_devices > 1
-                        or cfg.graph_devices > 1 or n_proc > 1)
         use_device = (not multi_device and DeviceDataset.fits(train_ds)
                       and DeviceDataset.fits(valid_ds))
         rng_np = np.random.default_rng(cfg.seed)
@@ -231,7 +239,10 @@ class Workflow:
                       f" ({n_proc} process(es)).", flush=True)
                 train_step, params, place_batch = make_sharded_train_step(
                     cfg, schedule, mesh, params)
-                opt_state = adam_init(params)
+                # opt_state (fresh or restored by _init_or_restore) is
+                # placed by the step's in_shardings on first call; a
+                # restart keeps its Adam moments here too, unlike the
+                # reference's silent re-init (Workflow.py:208-237)
                 if n_proc > 1:
                     from graphinvent_tpu.parallel.mesh import batch_spec
                     from graphinvent_tpu.parallel.multihost import (

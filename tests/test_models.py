@@ -171,3 +171,33 @@ def test_attention_packed_matches_dense():
         packed = np.asarray(apply_model(cfg_p, params, nodes, edges))
         np.testing.assert_allclose(packed, dense, rtol=3e-4, atol=3e-4,
                                    err_msg=model)
+
+
+def test_packed_matches_dense_chembl_scale():
+    """Packed == dense at ChEMBL-scale graphs (N=80, the reference's
+    tdc-create-dataset.py:44 atom cap) for every model with a packed path.
+
+    The summation engines (MNN/S2V/GGNN) intentionally have NO packed path:
+    their per-edge work is a pure type contraction (E*N^2*M FLOPs dense)
+    with no per-pair MLP, and a packed edge list of capacity V*N would cost
+    E_cap*N*M = V*N^2*M > E*N^2*M (max valence V=4-6 exceeds E=3 bond
+    types) -- packing is a strict pessimization there at every N.  See
+    docs/9 and BASELINE.md for the measured N-scaling table."""
+    import numpy as np
+    import jax
+    from graphinvent_tpu.config import preset
+    from graphinvent_tpu.models import apply_model, init_model
+    from graphinvent_tpu.models.mpnn import _emn_edge_capacity
+    from tools.roofline import synthetic_batch
+
+    for model in ("EMN", "AttGGNN", "AttS2V"):
+        cfg_p = preset(model, max_n_nodes=80, compute_dtype="float32")
+        cfg_d = cfg_p.replace(emn_packed=False)
+        # the packed path must engage at this scale (E_cap << N^2)
+        assert _emn_edge_capacity(cfg_p) < 80 * 80 // 4
+        params = init_model(cfg_p, jax.random.PRNGKey(1))
+        nodes, edges, _ = synthetic_batch(cfg_p, batch_size=3, seed=11)
+        dense = np.asarray(apply_model(cfg_d, params, nodes, edges))
+        packed = np.asarray(apply_model(cfg_p, params, nodes, edges))
+        np.testing.assert_allclose(packed, dense, rtol=3e-4, atol=3e-4,
+                                   err_msg=model)
