@@ -58,10 +58,16 @@ def graph_axis_size(mesh: Optional[Mesh] = None) -> int:
 
 def constrain(x: jax.Array, *spec) -> jax.Array:
     """``with_sharding_constraint`` against the ambient edge-sharding mesh;
-    identity when no mesh is active or its ``graph`` axis is trivial."""
+    identity when no mesh is active (single-device jits trace unchanged).
+    With a mesh whose ``graph`` axis is trivial the constraints still
+    matter: they carry the ``data`` axis through device-resident epoch
+    programs whose inputs have no input-sharding to propagate from
+    (train/device_data.py)."""
     mesh = _active_mesh()
-    if mesh is None or graph_axis_size(mesh) == 1:
+    if mesh is None:
         return x
+    spec = tuple(s if s != "graph" or graph_axis_size(mesh) > 1 else None
+                 for s in spec)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 

@@ -1,6 +1,7 @@
 from graphinvent_tpu.parallel.mesh import (
-    make_mesh, shard_batch, shard_params, make_sharded_train_step,
+    make_mesh, place_training_state, shard_batch, shard_params,
+    make_sharded_train_step,
 )
 
-__all__ = ["make_mesh", "shard_batch", "shard_params",
-           "make_sharded_train_step"]
+__all__ = ["make_mesh", "place_training_state", "shard_batch",
+           "shard_params", "make_sharded_train_step"]

@@ -122,6 +122,31 @@ def _shardable_head(params: Params, mesh: Mesh) -> bool:
     return ok[0]
 
 
+def place_training_state(mesh: Mesh, params: Params,
+                         opt_state: Optional[AdamState]
+                         ) -> Tuple[Params, Optional[AdamState]]:
+    """Places params + Adam state on the mesh for the device-resident epoch
+    path (train/device_data.py): TP head sharding when the head widths
+    divide the ``model`` axis, everything else replicated; Adam moments
+    mirror the param shardings."""
+    tp = _shardable_head(params, mesh)
+    specs = param_specs(params, tp)
+    placed = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(jnp.asarray(p), NamedSharding(mesh, s)),
+        params, specs)
+    if opt_state is None:
+        return placed, None
+    repl = NamedSharding(mesh, P())
+    moment_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs)
+    put = lambda t: jax.tree_util.tree_map(
+        lambda x, sh: jax.device_put(jnp.asarray(x), sh),
+        t, moment_shardings)
+    opt_state = AdamState(step=jax.device_put(jnp.asarray(opt_state.step), repl),
+                          mu=put(opt_state.mu), nu=put(opt_state.nu))
+    return placed, opt_state
+
+
 # --------------------------------------------------------------------------
 # sharded train step
 # --------------------------------------------------------------------------

@@ -108,7 +108,7 @@ def learning_phase(workflow) -> None:
     prior_params = agent_params
     basf_params = agent_params          # "best agent so far"
 
-    opt_state = adam_init(agent_params, flat=True)   # fused single-buffer update
+    opt_state = adam_init(agent_params)
     schedule = onecycle_for_config(cfg, 1)
     rl_grad = _make_rl_grad(cfg)
     loglik = _make_loglik(cfg)

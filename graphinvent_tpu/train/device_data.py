@@ -31,10 +31,15 @@ Params = Any
 
 
 class DeviceDataset:
-    """Whole HDF dataset as int8 device arrays."""
+    """Whole HDF dataset as int8 device arrays.  With a ``mesh`` the arrays
+    are replicated across it (the fits() bound is per-device HBM), so every
+    device gathers its batch rows locally and only the computation shards."""
 
-    def __init__(self, ds: HDFDataset, device=None) -> None:
+    def __init__(self, ds: HDFDataset, device=None, mesh=None) -> None:
         self.n_rows = len(ds)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            device = NamedSharding(mesh, PartitionSpec())
         put = functools.partial(jax.device_put, device=device)
         self.nodes = put(jnp.asarray(np.asarray(ds.nodes[:], np.int8)))
         self.edges = put(jnp.asarray(np.asarray(ds.edges[:], np.int8)))
@@ -80,19 +85,42 @@ def nll_row_batches(n_total: int, max_rows: int, batch_size: int,
 
 def _gather_batch(data: DeviceDataset, idx: jnp.ndarray, compute_dtype
                   ) -> Dict[str, jnp.ndarray]:
+    # constrain() is identity without an ambient mesh; inside a mesh-wrapped
+    # epoch fn (make_epoch_*_fn(..., mesh=...)) it shards the batch rows
+    # over ``data`` right after the local gather from the replicated dataset
+    from graphinvent_tpu.models.annotate import constrain
     safe = jnp.maximum(idx, 0)
     return {
-        "nodes": jnp.take(data.nodes, safe, axis=0).astype(compute_dtype),
-        "edges": jnp.take(data.edges, safe, axis=0).astype(compute_dtype),
-        "apds": jnp.take(data.apds, safe, axis=0).astype(jnp.float32),
-        "valid": (idx >= 0).astype(jnp.float32),
+        "nodes": constrain(jnp.take(data.nodes, safe, axis=0)
+                           .astype(compute_dtype), "data"),
+        "edges": constrain(jnp.take(data.edges, safe, axis=0)
+                           .astype(compute_dtype), "data"),
+        "apds": constrain(jnp.take(data.apds, safe, axis=0)
+                          .astype(jnp.float32), "data"),
+        "valid": constrain((idx >= 0).astype(jnp.float32), "data"),
     }
 
 
+def _mesh_wrap(fn, mesh):
+    """Runs ``fn`` inside the edge_sharding context so the batch/activation
+    sharding constraints are live while the jit traces (first call)."""
+    if mesh is None:
+        return fn
+    from graphinvent_tpu.models.annotate import edge_sharding
+
+    def wrapped(*args):
+        with edge_sharding(mesh):
+            return fn(*args)
+    return wrapped
+
+
 def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
-                        data: DeviceDataset) -> Callable:
+                        data: DeviceDataset, mesh=None) -> Callable:
     """Returns jitted ``(params, opt_state, perm, rng) ->
-    (params, opt_state, mean_loss)`` -- a full epoch in one device call."""
+    (params, opt_state, mean_loss)`` -- a full epoch in one device call.
+    With ``mesh``, every batch shards over ``data`` (and node/pair axes
+    over ``graph``) via the constraints in _gather_batch / the model
+    forwards; params/opt must be pre-placed (parallel.place_training_state)."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, batch, rng):
@@ -116,10 +144,11 @@ def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
             step, (params, opt_state), perm)
         return params, opt_state, jnp.mean(losses)
 
-    return epoch_fn
+    return _mesh_wrap(epoch_fn, mesh)
 
 
-def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset) -> Callable:
+def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset,
+                       mesh=None) -> Callable:
     """Returns jitted ``(params, perm) -> mean_loss`` over index batches."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -135,10 +164,11 @@ def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset) -> Callable:
         _, losses = jax.lax.scan(step, None, perm)
         return jnp.mean(losses)
 
-    return eval_fn
+    return _mesh_wrap(eval_fn, mesh)
 
 
-def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset) -> Callable:
+def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset,
+                      mesh=None) -> Callable:
     """Returns jitted ``(params, perm) -> (nlls, valid)`` flattened over the
     scanned batches (correct-action NLL per row)."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -155,4 +185,4 @@ def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset) -> Callable:
         _, (nlls, valid) = jax.lax.scan(step, None, perm)
         return nlls.reshape(-1), valid.reshape(-1)
 
-    return nll_fn
+    return _mesh_wrap(nll_fn, mesh)

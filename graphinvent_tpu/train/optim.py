@@ -23,12 +23,10 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
-import jax.flatten_util
 import jax.numpy as jnp
-import numpy as np
 
 from graphinvent_tpu.config import GraphInventConfig
 
@@ -83,65 +81,28 @@ def onecycle_for_config(cfg: GraphInventConfig, steps_per_epoch: int) -> OneCycl
 
 class AdamState(NamedTuple):
     step: jnp.ndarray      # scalar int32
-    mu: Params             # moment pytree, or ONE flat f32 vector (flat mode)
+    mu: Params
     nu: Params
 
 
-def adam_init(params: Params, flat: bool = False) -> AdamState:
-    """``flat=True`` stores both moments as single raveled vectors.  The
-    update then runs as a few large fused HBM passes instead of ~3 small
-    fusions per parameter leaf -- measured on the v5e, tree-mode Adam cost
-    0.87 ms/step of fixed per-op overhead at GGNN dims (~84 leaves) vs the
-    ~0.1 ms a bandwidth-bound update needs.  Moments are layout, not math:
-    both modes produce bit-identical parameters.  Use flat for replicated
-    params (single chip / pure dp); keep the tree when param leaves carry
-    per-leaf NamedShardings (tensor-parallel APD head)."""
-    if flat:
-        vec, _ = jax.flatten_util.ravel_pytree(params)
-        return AdamState(step=jnp.zeros((), jnp.int32),
-                         mu=jnp.zeros_like(vec), nu=jnp.zeros_like(vec))
+def adam_init(params: Params) -> AdamState:
+    # Layout note (measured, v5e): the per-leaf tree update costs
+    # ~0.87 ms/step of small-fusion overhead at GGNN dims (~84 leaves).
+    # A flat-moment variant (single raveled mu/nu buffers, ravel/unravel
+    # inside the step) was built and benchmarked: it was ~0.25-0.35 ms
+    # SLOWER per scanned step across models -- the ~168 slice/concat ops
+    # at the ravel boundary cost more than the per-leaf fusions they
+    # replace.  Keep the tree layout (docs/9 "negative results").
     zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params)
     return AdamState(step=jnp.zeros((), jnp.int32), mu=zeros,
                      nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params))
-
-
-def _is_flat_state(state: AdamState, params: Params) -> bool:
-    """Flat mode: moments are one vector while params are a non-trivial tree."""
-    mu = state.mu
-    leaves = jax.tree_util.tree_leaves(params)
-    return (isinstance(mu, (jnp.ndarray, np.ndarray)) and mu.ndim == 1
-            and not (len(leaves) == 1 and leaves[0] is params))
-
-
-def ensure_opt_layout(state: Optional[AdamState], params: Params,
-                      flat: bool) -> Optional[AdamState]:
-    """Converts an AdamState between tree- and flat-moment layouts (e.g. a
-    checkpoint written by a single-chip flat run restored into a
-    tensor-parallel tree run, or vice versa).  No-op when already right."""
-    if state is None:
-        return None
-    is_flat = _is_flat_state(state, params)
-    if flat and not is_flat:
-        mu, _ = jax.flatten_util.ravel_pytree(state.mu)
-        nu, _ = jax.flatten_util.ravel_pytree(state.nu)
-        return AdamState(step=state.step, mu=mu, nu=nu)
-    if not flat and is_flat:
-        _, unravel = jax.flatten_util.ravel_pytree(params)
-        return AdamState(step=state.step, mu=unravel(jnp.asarray(state.mu)),
-                         nu=unravel(jnp.asarray(state.nu)))
-    return state
 
 
 def adam_update(grads: Params, state: AdamState, params: Params,
                 lr: jnp.ndarray, beta1: jnp.ndarray = 0.9,
                 beta2: float = 0.999, eps: float = 1e-8
                 ) -> Tuple[Params, AdamState]:
-    """One torch-style Adam step with (possibly scheduled) lr and beta1.
-
-    With a flat-moment state (``adam_init(flat=True)``) the whole update is
-    three fused read-modify-write passes over single buffers; params are
-    raveled/unraveled inside the trace (the unravel slices fuse into each
-    weight's first downstream use).  Bit-identical to tree mode."""
+    """One torch-style Adam step with (possibly scheduled) lr and beta1."""
     step = state.step + 1
     t = step.astype(jnp.float32)
     b1 = jnp.asarray(beta1, jnp.float32)
@@ -156,14 +117,6 @@ def adam_update(grads: Params, state: AdamState, params: Params,
 
     def upd_p(p, m, v):
         return p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-
-    if _is_flat_state(state, params):
-        g_vec, _ = jax.flatten_util.ravel_pytree(grads)
-        p_vec, unravel = jax.flatten_util.ravel_pytree(params)
-        mu = upd_mu(state.mu, g_vec)
-        nu = upd_nu(state.nu, g_vec)
-        new_params = unravel(upd_p(p_vec, mu, nu))
-        return new_params, AdamState(step=step, mu=mu, nu=nu)
 
     mu = jax.tree_util.tree_map(upd_mu, state.mu, grads)
     nu = jax.tree_util.tree_map(upd_nu, state.nu, grads)

@@ -23,7 +23,7 @@ from graphinvent_tpu.eval.analyzer import Analyzer
 from graphinvent_tpu.eval.properties import load_ts_properties_csv
 from graphinvent_tpu.models import init_model
 from graphinvent_tpu.train.optim import (
-    AdamState, adam_init, ensure_opt_layout, onecycle_for_config,
+    AdamState, adam_init, onecycle_for_config,
 )
 from graphinvent_tpu.train.step import (
     make_eval_step, make_likelihood_step, make_train_step,
@@ -114,11 +114,9 @@ class Workflow:
             return load_ts_properties_csv(csv_path)
         return {}
 
-    def _init_or_restore(self, n_batches: int, flat_opt: bool = False
+    def _init_or_restore(self, n_batches: int
                          ) -> Tuple[Any, AdamState, int]:
-        """-> (params, opt_state, start_epoch).  ``flat_opt`` selects the
-        flat-moment Adam layout (optim.adam_init); checkpoints written in
-        either layout restore into either (ensure_opt_layout)."""
+        """-> (params, opt_state, start_epoch)."""
         cfg = self.cfg
         if cfg.restart:
             found = latest_checkpoint(cfg.job_dir)
@@ -134,12 +132,10 @@ class Workflow:
                 else:
                     params, opt_state, _ = load_checkpoint(path)
                 if opt_state is None:
-                    opt_state = adam_init(params, flat=flat_opt)
-                else:
-                    opt_state = ensure_opt_layout(opt_state, params, flat_opt)
+                    opt_state = adam_init(params)
                 return params, opt_state, epoch + 1
         params = init_model(cfg, self.key)
-        return params, adam_init(params, flat=flat_opt), 1
+        return params, adam_init(params), 1
 
     # ------------------------------------------------------------------
     def training_phase(self) -> None:
@@ -171,28 +167,38 @@ class Workflow:
         schedule = onecycle_for_config(cfg, n_batches)
         multi_device = (cfg.dp_devices > 1 or cfg.mp_devices > 1
                         or cfg.graph_devices > 1 or n_proc > 1)
-        # single-device runs use the flat-moment Adam layout (one fused HBM
-        # pass instead of ~3 small fusions per param leaf; optim.adam_init);
-        # sharded runs keep the tree so TP param leaves keep their shardings
-        params, opt_state, start_epoch = self._init_or_restore(
-            n_batches, flat_opt=not multi_device)
+        params, opt_state, start_epoch = self._init_or_restore(n_batches)
 
         from graphinvent_tpu.train.device_data import (
             DeviceDataset, epoch_permutation, make_epoch_eval_fn,
             make_epoch_nll_fn, make_epoch_train_fn,
         )
-        use_device = (not multi_device and DeviceDataset.fits(train_ds)
+        # device-resident epochs compose with single-process meshes (batch
+        # shards over ``data``, node/pair axes over ``graph``); multi-host
+        # runs stream per-host block shards instead
+        use_device = (n_proc == 1 and DeviceDataset.fits(train_ds)
                       and DeviceDataset.fits(valid_ds))
         rng_np = np.random.default_rng(cfg.seed)
         if use_device:
-            print("-- Dataset fits in HBM: device-resident epoch path.",
-                  flush=True)
-            dtrain = DeviceDataset(train_ds)
-            dvalid = DeviceDataset(valid_ds)
-            train_epoch_fn = make_epoch_train_fn(cfg, schedule, dtrain)
-            valid_epoch_fn = make_epoch_eval_fn(cfg, dvalid)
-            nll_fns = {"valid": make_epoch_nll_fn(cfg, dvalid),
-                       "train": make_epoch_nll_fn(cfg, dtrain)}
+            mesh = None
+            if multi_device:
+                from graphinvent_tpu.parallel import (
+                    make_mesh, place_training_state,
+                )
+                mesh = make_mesh(cfg)
+                params, opt_state = place_training_state(mesh, params,
+                                                         opt_state)
+                print(f"-- Dataset fits in HBM: device-resident epochs "
+                      f"over mesh {dict(mesh.shape)}.", flush=True)
+            else:
+                print("-- Dataset fits in HBM: device-resident epoch path.",
+                      flush=True)
+            dtrain = DeviceDataset(train_ds, mesh=mesh)
+            dvalid = DeviceDataset(valid_ds, mesh=mesh)
+            train_epoch_fn = make_epoch_train_fn(cfg, schedule, dtrain, mesh)
+            valid_epoch_fn = make_epoch_eval_fn(cfg, dvalid, mesh)
+            nll_fns = {"valid": make_epoch_nll_fn(cfg, dvalid, mesh),
+                       "train": make_epoch_nll_fn(cfg, dtrain, mesh)}
             sizes = {"valid": len(valid_ds), "train": len(train_ds)}
 
             def run_train_epoch(epoch):

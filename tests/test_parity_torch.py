@@ -128,39 +128,6 @@ def test_adam_matches_torch():
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
-def test_flat_adam_matches_tree_adam():
-    """Flat-moment Adam (single raveled mu/nu buffers -- the single-device
-    production layout) is bit-identical to the per-leaf tree layout, and
-    ensure_opt_layout converts mid-run state losslessly both ways."""
-    import jax
-    from graphinvent_tpu.train.optim import (adam_init, adam_update,
-                                             ensure_opt_layout)
-    rng = np.random.default_rng(1)
-
-    def tree_like():
-        return {"a": {"w": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
-                      "b": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
-                "c": jnp.asarray(rng.normal(size=(2, 2, 2)), jnp.float32)}
-
-    params = tree_like()
-    p_tree, s_tree = params, adam_init(params)
-    p_flat, s_flat = params, adam_init(params, flat=True)
-    upd = jax.jit(adam_update)
-    for i in range(4):
-        grads = tree_like()
-        p_tree, s_tree = upd(grads, s_tree, p_tree, 1e-3, 0.9)
-        p_flat, s_flat = upd(grads, s_flat, p_flat, 1e-3, 0.9)
-        if i == 1:     # convert layouts mid-run and keep going
-            s_tree = ensure_opt_layout(s_tree, p_tree, flat=True)
-            s_flat = ensure_opt_layout(s_flat, p_flat, flat=False)
-    for ka, kb in (("a", "w"), ("a", "b")):
-        np.testing.assert_array_equal(np.asarray(p_tree[ka][kb]),
-                                      np.asarray(p_flat[ka][kb]))
-    np.testing.assert_array_equal(np.asarray(p_tree["c"]),
-                                  np.asarray(p_flat["c"]))
-    assert int(s_tree.step) == int(s_flat.step) == 4
-
-
 # --------------------------------------------------------------------------
 # full-model parity: dense formulation vs reference-style edge-list torch
 # --------------------------------------------------------------------------

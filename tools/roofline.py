@@ -107,7 +107,7 @@ def measure(cfg, n_steps: int = 50, seed: int = 0):
                                              onecycle_for_config)
 
     params = init_model(cfg, jax.random.PRNGKey(seed))
-    opt_state = adam_init(params, flat=True)   # single-device production layout
+    opt_state = adam_init(params)
     schedule = onecycle_for_config(cfg, 100)
     nodes_np, edges_np, apds_np = synthetic_batch(cfg, cfg.batch_size, seed)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
