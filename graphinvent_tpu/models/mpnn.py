@@ -571,6 +571,15 @@ def apply_emn_packed(cfg: GraphInventConfig, params: Params,
         jnp.arange(B)[:, None], sel].set(
         jnp.arange(E_cap, dtype=jnp.int32)[None, :])
     rev_idx = jnp.take_along_axis(pos, dst * N + src, axis=1)  # (B,E_cap)
+    # reverse-edge lookup as a permutation matmul: take_along_axis on the
+    # (B, E_cap, D) memories lowers to serial dynamic-slice loops on TPU;
+    # a one-hot (E_cap x E_cap) contraction rides the MXU (~1 GFLOP at
+    # reference dims vs the measured multi-ms gather)
+    rev_oh = jax.nn.one_hot(rev_idx, E_cap, dtype=dt) * valid_f  # (B,Ec,Ec)
+
+    def at_rev(per_edge):            # (B,E_cap,D) -> value at reverse edge
+        return jnp.einsum("bef,bfd->bed", rev_oh, per_edge,
+                          preferred_element_type=jnp.float32).astype(dt)
 
     # one-hot incidence (zeroed for padding slots): segment sums as matmuls
     src_oh = (jax.nn.one_hot(src, N, dtype=dt) * valid_f)      # (B,E_cap,N)
@@ -623,8 +632,8 @@ def apply_emn_packed(cfg: GraphInventConfig, params: Params,
         S_at = at_src(S)                                         # (B,E_cap,D)
         T_at = at_src(T)
 
-        exp_rev = jnp.take_along_axis(exp_mem, rev_idx[..., None], axis=1)
-        emb_rev = jnp.take_along_axis(emb_mem, rev_idx[..., None], axis=1)
+        exp_rev = at_rev(exp_mem)
+        emb_rev = at_rev(emb_mem)
 
         exp_self = jnp.exp(att_self - m[:, None, :]) * valid_f
         Z = exp_self + S_at - exp_rev

@@ -20,7 +20,8 @@ Design deltas vs the reference (SURVEY.md §7 + TPU profiling):
     contractions (see sampling/actions.py);
   * action sampled with ``jax.random.categorical`` on the APD logits
     (equivalent to Multinomial on the softmax);
-  * a graph exceeding its likelihood-slot budget (2*max_n_nodes actions,
+  * a graph exceeding its likelihood-slot budget (cfg.gen_action_budget,
+    default 2*max_n_nodes actions,
     the reference's buffer size) is force-invalidated instead of silently
     overflowing (GraphGenerator.py:172);
   * final log-likelihood is the principled sum of per-action log
@@ -72,8 +73,8 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
     N = cfg.max_n_nodes
     Fn = cfg.n_node_features
     E = cfg.n_edge_features
-    L = cfg.max_n_nodes * 2            # likelihood slots (reference sizing)
-    max_rounds = L + 4                 # every live graph terminates within L
+    L = cfg.gen_action_budget          # likelihood slots (config.py; the
+    max_rounds = L + 4                 # reference sizes this 2*max_n_nodes)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     init = dict(
@@ -195,7 +196,7 @@ class GraphSampler:
         cfg = self.cfg
         B = self.batch_size
         N, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
-        L = cfg.max_n_nodes * 2
+        L = cfg.gen_action_budget
         t0 = time.time()
         packed = np.asarray(self._jitted(params, key))   # single transfer
         elapsed = time.time() - t0

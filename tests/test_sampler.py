@@ -205,3 +205,26 @@ def test_sampler_replay_loglik_consistency():
         cfg, params, jnp.asarray(res.actions), jnp.asarray(res.t_counts)))
     np.testing.assert_allclose(replay, res.final_loglikelihoods,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gen_action_budget_knob():
+    """gen_max_actions resizes the per-graph action budget (VERDICT weak #8:
+    a b-bond molecule needs b+2 actions; the reference's fixed 2*max_n_nodes
+    buffer clips chemistry denser than ~2 bonds/atom.  Measured: all 3009
+    GDB-13 1K molecules need <= 20 of the default 26, see config.py)."""
+    import jax
+    import numpy as np
+    from graphinvent_tpu.config import test_config as tiny_config
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.sampling import GraphSampler
+
+    cfg = tiny_config("GGNN", gen_max_actions=40)
+    assert cfg.gen_action_budget == 40
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    res = GraphSampler(cfg, 8).sample(params, jax.random.PRNGKey(1),
+                                      quiet=True)
+    assert res.actions.shape == (8, 40)
+    assert np.all(res.t_counts <= 40)
+    # default: the reference's sizing
+    assert tiny_config("GGNN").gen_action_budget \
+        == 2 * tiny_config("GGNN").max_n_nodes

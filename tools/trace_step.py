@@ -27,10 +27,11 @@ from graphinvent_tpu.train.step import make_train_step
 from tools.torch_baseline import synthetic_batch
 
 
-def main(batch_size=1000, dtype="bfloat16"):
-    cfg = preset("GGNN", batch_size=batch_size, compute_dtype=dtype)
+def main(batch_size=1000, dtype="bfloat16", model="GGNN"):
+    cfg = preset(model, batch_size=batch_size, compute_dtype=dtype)
     params = init_model(cfg, jax.random.PRNGKey(0))
-    nodes, edges, apds = synthetic_batch(batch_size)
+    from tools.roofline import synthetic_batch as synth_any
+    nodes, edges, apds = synth_any(cfg, batch_size)
     batch = {
         "nodes": jnp.asarray(nodes), "edges": jnp.asarray(edges),
         "apds": jnp.asarray(apds),
@@ -53,21 +54,14 @@ def main(batch_size=1000, dtype="bfloat16"):
             params, opt, loss = step(params, opt, batch, key)
         jax.block_until_ready(loss)
 
-    # parse the xplane
+    # parse the xplane (tools/xplane_stats.py digests it further; the
+    # tensorboard converter needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python)
     files = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    if not files:
-        print("no xplane captured; trace may be unsupported on this backend")
-        return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data(files, "hlo_op_profile", {})
-    print(type(data))
-    out = "/tmp/hlo_op_profile.json"
-    with open(out, "w") as fh:
-        fh.write(data if isinstance(data, str) else data.decode())
-    print("wrote", out)
+    print("captured:", files or "nothing (unsupported backend?)")
 
 
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     dt = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    main(bs, dt)
+    mdl = sys.argv[3] if len(sys.argv) > 3 else "GGNN"
+    main(bs, dt, mdl)
