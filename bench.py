@@ -48,7 +48,10 @@ def main() -> None:
 
     cfg = preset("GGNN", batch_size=1000, compute_dtype="bfloat16")
     spec = chip_spec(jax.devices()[0])
-    row = roofline_row(cfg, spec, n_steps=50)
+    # median of 5 timed repeats of the 50-step scanned program, with min/max
+    # spread, so round-over-round deltas are attributable (tunneled timings
+    # carry ±10% day-level variance, BASELINE.md)
+    row = roofline_row(cfg, spec, n_steps=50, n_repeats=5)
 
     out = {
         "metric": "ggnn_train_edges_per_s",
@@ -56,6 +59,9 @@ def main() -> None:
         "unit": "edges/s",
         "vs_baseline": round(row["edges_per_s"] / torch_baseline_eps(), 3),
         "step_ms": round(row["step_time_s"] * 1e3, 3),
+        "step_ms_min": round(row["step_time_min_s"] * 1e3, 3),
+        "step_ms_max": round(row["step_time_max_s"] * 1e3, 3),
+        "n_repeats": row["n_repeats"],
         "flops_per_step": row["flops"],
     }
     if "mfu" in row:

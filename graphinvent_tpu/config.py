@@ -163,6 +163,15 @@ class GraphInventConfig:
     coordinator_address: str = ""
     num_processes: int = 1
     process_id: int = -1                 # -1 => from env
+    # sharded preprocessing (data/preprocess.py): split each .smi into
+    # num_shards molecule shards.  Single process: 0/1 = no sharding; >1 runs
+    # all shards sequentially then combines, unless preprocess_shard_index
+    # picks ONE shard (the reference's one-shard-per-SLURM-job flow,
+    # tools/submit-split-preprocessing-supercloud.py; combine afterwards with
+    # tools/combine_hdfs.py).  Multi-host: defaults to one shard per process,
+    # process 0 combines + writes train.csv.
+    preprocess_num_shards: int = 0
+    preprocess_shard_index: int = -1
 
     # ---- model hyperparameters (filled from MODEL_PRESETS) -------------
     hidden_node_features: int = 100

@@ -12,7 +12,18 @@ HDF datasets.  Differences by design (SURVEY.md §7):
   (chem/molgraph.py) instead of re-truncating per subgraph index;
 * optional ``num_shards``/``shard_index`` produce shard files directly
   (the built-in replacement for the reference's manual split / combine_HDFs
-  flow, tools/combine_HDFs.py); ``combine_shards`` merges them.
+  flow, tools/combine_HDFs.py); ``combine_shards`` merges them.  Sharding is
+  reachable from the ``preprocess`` job via config
+  ``preprocess_num_shards``/``preprocess_shard_index`` and, under
+  multi-host execution, defaults to one shard per process with only
+  process 0 combining (reference analogue:
+  tools/submit-split-preprocessing-supercloud.py:8-17);
+* training-set properties (``train.csv``) are recomputed from the FINISHED
+  HDF -- full molecules are exactly the rows whose APD carries a terminate
+  count (every decoding route ends at its full graph), so the scan is exact,
+  restart-proof, and shard-merge-proof.  (The reference accumulates
+  streaming statistics during the pass and silently loses them on restart,
+  DataProcesser.py:389-417.)
 
 Restart uses the same ``index.restart`` + ``.h5.chunked`` protocol as the
 reference (util.py:387-476, DataProcesser.py:66-135).
@@ -144,11 +155,6 @@ class Preprocessor:
             g_nodes: List[np.ndarray] = []
             g_edges: List[np.ndarray] = []
             g_apds: List[np.ndarray] = []
-            ts_parts: List[Dict] = []
-            ts_weights: List[int] = []
-            mol_nodes: List[np.ndarray] = []
-            mol_edges: List[np.ndarray] = []
-            mol_counts: List[int] = []
             last_mol = start_idx
 
             def flush() -> None:
@@ -171,10 +177,6 @@ class Preprocessor:
                 self._write_restart(last_mol, written)
 
             for idx, route, full_nodes, full_edges, n_f in self._routes(start_idx):
-                if self.is_training_set:
-                    mol_nodes.append(full_nodes)
-                    mol_edges.append(full_edges)
-                    mol_counts.append(n_f)
                 for nodes, edges, apd in route:
                     key = nodes.tobytes() + edges.tobytes()
                     pos = group.get(key)
@@ -185,27 +187,17 @@ class Preprocessor:
                         g_apds.append(apd.astype(np.int16))
                     else:
                         g_apds[pos] = g_apds[pos] + apd
-                    if len(g_nodes) >= group_size:
-                        last_mol = idx + 1
-                        flush()
+                # flush only at molecule boundaries: index.restart points at
+                # a molecule, so a mid-route flush could strand the tail of
+                # a molecule's route on crash (its prefix flushed as done,
+                # its remainder only in memory).  Boundary-aligned groups
+                # also make restarted runs byte-identical to fresh ones
+                # (deterministic group boundaries) and match the reference's
+                # molecule-group granularity (DataProcesser.py:82-114).
                 last_mol = idx + 1
-                if self.is_training_set and len(mol_nodes) >= group_size:
-                    ts_parts.append(graph_set_properties(
-                        cfg, np.stack(mol_nodes), np.stack(mol_edges),
-                        np.asarray(mol_counts)))
-                    ts_weights.append(len(mol_nodes))
-                    mol_nodes, mol_edges, mol_counts = [], [], []
+                if len(g_nodes) >= group_size:
+                    flush()
             flush()
-
-            if self.is_training_set and not restart:
-                if mol_nodes:
-                    ts_parts.append(graph_set_properties(
-                        cfg, np.stack(mol_nodes), np.stack(mol_edges),
-                        np.asarray(mol_counts)))
-                    ts_weights.append(len(mol_nodes))
-                ts = merge_ts_properties(ts_parts, ts_weights)
-                if ts:
-                    write_ts_properties_csv(self.smi_path[:-4] + ".csv", ts)
 
             for name in dims:     # trim dedupe savings
                 ds[name].resize((written, *dims[name]))
@@ -218,6 +210,13 @@ class Preprocessor:
         os.remove(chunked)
         if os.path.exists(self.restart_path):
             os.remove(self.restart_path)
+        # training-set properties from the finished HDF: exact whether this
+        # run was fresh or restarted.  Shard runs skip it -- combine_shards
+        # recomputes over the merged file.
+        if self.is_training_set and self.num_shards == 1:
+            ts, _ = ts_properties_from_hdf(cfg, self.h5_path)
+            if ts:
+                write_ts_properties_csv(self.smi_path[:-4] + ".csv", ts)
         return self.h5_path
 
     # ------------------------------------------------------------------
@@ -234,9 +233,44 @@ class Preprocessor:
             return 0, 0
 
 
-def combine_shards(shard_paths: List[str], out_path: str) -> str:
+def ts_properties_from_hdf(cfg: GraphInventConfig, h5_path: str,
+                           chunk: int = 8192) -> Tuple[Dict, int]:
+    """-> (training-set property dict, n_molecules) computed from a finished
+    HDF.  Full molecules are the rows whose APD carries a terminate count
+    (apd[-1] >= 1): every molecule's decoding route ends at its full ordered
+    graph with a terminate target, and the within-group dedupe *sums* APDs,
+    so apd[-1] is exactly the multiplicity of that full graph in the set.
+    Streamed in ``chunk``-row slices (ChEMBL-scale files are GB-sized)."""
+    parts: List[Dict] = []
+    weights: List[int] = []
+    with h5py.File(h5_path, "r") as hf:
+        apd_ds, node_ds, edge_ds = hf["APDs"], hf["nodes"], hf["edges"]
+        n_rows = apd_ds.shape[0]
+        for lo in range(0, n_rows, chunk):
+            hi = min(lo + chunk, n_rows)
+            counts = apd_ds[lo:hi, -1].astype(np.int64)
+            sel = np.nonzero(counts > 0)[0]
+            if sel.size == 0:
+                continue
+            nodes = np.repeat(node_ds[lo:hi][sel].astype(np.float32),
+                              counts[sel], axis=0)
+            edges = np.repeat(edge_ds[lo:hi][sel].astype(np.float32),
+                              counts[sel], axis=0)
+            n_nodes = (nodes.sum(axis=2) > 0).sum(axis=1)
+            parts.append(graph_set_properties(cfg, nodes, edges, n_nodes))
+            weights.append(int(nodes.shape[0]))
+    return merge_ts_properties(parts, weights), int(sum(weights))
+
+
+def combine_shards(shard_paths: List[str], out_path: str,
+                   cfg: Optional[GraphInventConfig] = None,
+                   is_training_set: bool = False,
+                   remove_shards: bool = False) -> str:
     """Merges shard HDF files into one (built-in replacement for
-    tools/combine_HDFs.py:120-189)."""
+    tools/combine_HDFs.py:120-189).  With ``cfg`` and ``is_training_set``,
+    also recomputes the training-set property CSV over the merged file
+    (replacing the reference's shard-CSV averaging, combine_HDFs.py:76-118,
+    with an exact recomputation)."""
     arrays: Dict[str, List[np.ndarray]] = {"nodes": [], "edges": [], "APDs": []}
     for p in shard_paths:
         with h5py.File(p, "r") as hf:
@@ -246,12 +280,65 @@ def combine_shards(shard_paths: List[str], out_path: str) -> str:
         for name, parts in arrays.items():
             out.create_dataset(name, data=np.concatenate(parts), chunks=None,
                                dtype=np.int8)
+    if remove_shards:
+        for p in shard_paths:
+            os.remove(p)
+    if cfg is not None and is_training_set:
+        ts, _ = ts_properties_from_hdf(cfg, out_path)
+        if ts:
+            write_ts_properties_csv(out_path[:-2] + "csv", ts)
     return out_path
+
+
+def write_preprocessing_params_csv(cfg: GraphInventConfig) -> None:
+    """Writes ``preprocessing_params.csv`` into the dataset dir so later
+    train/generate/test jobs can cross-check their featurization config
+    (reference: util.write_preprocessing_parameters, util.py:493-518)."""
+    keys = ("atom_types", "formal_charge", "imp_H", "chirality",
+            "max_n_nodes", "use_aromatic_bonds", "use_chirality",
+            "use_explicit_H", "ignore_H")
+    me = cfg.to_dict()
+    path = os.path.join(cfg.dataset_dir, "preprocessing_params.csv")
+    with open(path, "w") as fh:
+        for key in keys:
+            value = me[key]
+            if isinstance(value, tuple):
+                value = list(value)
+            fh.write(f"{key};{value}\n")
+
+
+def _shard_plan(cfg: GraphInventConfig) -> Tuple[int, List[int], bool]:
+    """-> (num_shards, shards this process runs, multihost).
+
+    Single process: ``preprocess_num_shards`` shards run sequentially here
+    (then combine), or just ``preprocess_shard_index`` when set -- the
+    reference's manual one-shard-per-SLURM-job flow
+    (tools/submit-split-preprocessing-supercloud.py:8-17), combined later
+    with tools/combine_hdfs.py.  Multi-host: one shard per process by
+    default (round-robin if num_shards > processes); process 0 combines."""
+    multihost = cfg.num_processes > 1
+    if multihost:
+        from graphinvent_tpu.parallel.multihost import (
+            process_count, process_index,
+        )
+        n_proc, pid = process_count(), process_index()
+        num_shards = cfg.preprocess_num_shards or n_proc
+        return num_shards, list(range(pid, num_shards, n_proc)), True
+    num_shards = cfg.preprocess_num_shards or 1
+    if num_shards > 1 and cfg.preprocess_shard_index >= 0:
+        return num_shards, [cfg.preprocess_shard_index], False
+    return num_shards, list(range(num_shards)), False
 
 
 def preprocess_dataset(cfg: GraphInventConfig, restart: bool = False) -> None:
     """Preprocesses valid -> test -> train, matching the reference's order
-    and restart inference (Workflow.preprocess_phase, Workflow.py:294-353)."""
+    and restart inference (Workflow.preprocess_phase, Workflow.py:294-353).
+    Honors config ``preprocess_num_shards`` / ``preprocess_shard_index``;
+    under multi-host each process takes its own shards and only process 0
+    combines + writes ``train.csv`` / ``preprocessing_params.csv``."""
+    num_shards, my_shards, multihost = _shard_plan(cfg)
+    partial_run = (num_shards > 1 and not multihost
+                   and cfg.preprocess_shard_index >= 0)
     paths = [
         (os.path.join(cfg.dataset_dir, "valid.smi"), False),
         (os.path.join(cfg.dataset_dir, "test.smi"), False),
@@ -264,11 +351,46 @@ def preprocess_dataset(cfg: GraphInventConfig, restart: bool = False) -> None:
                 raise OSError(
                     f"{h5} already exists; delete it to re-preprocess "
                     "(reference: Workflow.py:298-309)")
+
+    def barrier(tag: str) -> None:
+        if multihost:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
+
     for smi, is_train in paths:
         if not os.path.exists(smi):
             continue
         h5 = smi[:-3] + "h5"
-        if restart and os.path.exists(h5) and not os.path.exists(h5 + ".chunked"):
-            continue    # finished in a previous run
-        print(f"* Preprocessing {smi}", flush=True)
-        Preprocessor(cfg, smi, is_training_set=is_train).run(restart=restart)
+        if restart and os.path.exists(h5) and \
+                (num_shards > 1 or not os.path.exists(h5 + ".chunked")):
+            # finished (and, if sharded, combined) in a previous run; the
+            # unsharded check keeps the reference's crash-window semantics
+            # (h5 + leftover .chunked => redo, Workflow.py:317-353)
+            continue
+        print(f"* Preprocessing {smi}"
+              + (f" (shards {my_shards} of {num_shards})"
+                 if num_shards > 1 else ""), flush=True)
+        shard_paths = []
+        for shard in my_shards:
+            p = Preprocessor(cfg, smi, is_training_set=is_train,
+                             shard_index=shard, num_shards=num_shards)
+            if restart and os.path.exists(p.h5_path) \
+                    and not os.path.exists(p.h5_path + ".chunked"):
+                shard_paths.append(p.h5_path)
+                continue    # this shard finished in a previous run
+            shard_paths.append(p.run(restart=restart))
+        barrier(f"preprocess:{os.path.basename(smi)}")
+        if num_shards > 1 and not partial_run and _is_primary_process(multihost):
+            all_shards = [smi[:-3] + f"h5.shard{i}" for i in range(num_shards)]
+            combine_shards(all_shards, h5, cfg=cfg,
+                           is_training_set=is_train, remove_shards=True)
+        barrier(f"combined:{os.path.basename(smi)}")
+    if (not multihost or _is_primary_process(multihost)) and not partial_run:
+        write_preprocessing_params_csv(cfg)
+
+
+def _is_primary_process(multihost: bool) -> bool:
+    if not multihost:
+        return True
+    from graphinvent_tpu.parallel.multihost import is_primary
+    return is_primary()

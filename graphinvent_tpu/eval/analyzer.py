@@ -21,15 +21,22 @@ from graphinvent_tpu.utils.logging import JobLogger
 
 
 def uc_jsd(nll_valid: np.ndarray, nll_train: np.ndarray,
-           nll_sampled: np.ndarray) -> float:
+           nll_sampled: np.ndarray, seed: int = 0) -> float:
     """Uniformity-completeness Jensen-Shannon divergence over the three
-    per-action NLL distributions (reference: Analyzer.py:50-94)."""
+    per-action NLL distributions (reference: Analyzer.py:50-94).
+
+    Sets larger than the smallest are subsampled *uniformly at random*
+    (fixed seed: deterministic) rather than truncated -- NLLs arrive in
+    loader order, so a head-truncation is an order-biased subsample."""
     min_len = min(len(nll_valid), len(nll_train), len(nll_sampled))
     if min_len == 0:
         return float("nan")
+    rng = np.random.default_rng(seed)
 
     def _norm(x):
-        x = np.asarray(x[:min_len], dtype=np.float64)
+        x = np.asarray(x, dtype=np.float64)
+        if len(x) > min_len:
+            x = x[rng.choice(len(x), min_len, replace=False)]
         s = x.sum()
         return x / s if s else np.full(min_len, 1.0 / min_len)
 

@@ -94,7 +94,10 @@ def graph_set_properties(cfg: GraphInventConfig, nodes: np.ndarray,
 
 def merge_ts_properties(parts: List[Dict], weights: List[int]) -> Dict:
     """Weighted merge of per-group property dicts (exact, unlike the
-    reference's running average)."""
+    reference's running average): histograms sum, and the averages are
+    recomputed FROM the merged histograms -- a molecule-weighted average of
+    per-part means would bias per-node statistics (avg_n_edges) whenever
+    parts differ in nodes-per-molecule."""
     if not parts:
         return {}
     out: Dict = {}
@@ -107,6 +110,19 @@ def merge_ts_properties(parts: List[Dict], weights: List[int]) -> Dict:
         else:
             out[key] = round(float(
                 sum(v * w for v, w in zip(vals, weights)) / wsum), 3)
+    for key in list(out):
+        epoch_key, name = key
+        if name == "avg_n_nodes":
+            hist = out.get((epoch_key, "n_nodes_hist"))
+            if hist is not None and np.sum(hist):      # bin k = k nodes
+                out[key] = round(float(
+                    np.sum(hist * np.arange(len(hist))) / np.sum(hist)), 3)
+        elif name == "avg_n_edges":
+            hist = out.get((epoch_key, "n_edges_hist"))
+            if hist is not None and np.sum(hist):      # bin k = k+1 edges
+                out[key] = round(float(
+                    np.sum(hist * np.arange(1, len(hist) + 1))
+                    / np.sum(hist)), 3)
     return out
 
 

@@ -42,8 +42,8 @@ from graphinvent_tpu.models.annotate import (
     edge_axis, node_axis, pair_axis, per_type_node_axis,
 )
 from graphinvent_tpu.models.core import (
-    Params, gru_cell, init_gru_cell, init_mlp, init_stacked_mlp, mlp,
-    stacked_mlp,
+    Params, alpha_dropout, gru_cell, init_gru_cell, init_mlp,
+    init_stacked_mlp, mlp, stacked_mlp,
 )
 from graphinvent_tpu.models.readout import (
     graph_gather, global_readout, init_graph_gather, init_global_readout,
@@ -217,6 +217,38 @@ def init_atts2v(cfg: GraphInventConfig, key: jax.Array) -> Params:
     }
 
 
+def _att_enn_stack(cfg: GraphInventConfig, att_params: Params,
+                   hidden: jnp.ndarray, dropout_p: float, train: bool,
+                   rng: Optional[jax.Array]) -> jnp.ndarray:
+    """``att_enn([onehot_e, h])`` for every edge type e as ONE stacked
+    evaluation -> (E, B, N, M).
+
+    The type one-hot enters only the first layer, where it is exactly a
+    per-type first-layer bias (column e of the first weight matrix): the
+    (B,N,H)->(B,N,H1) matmul runs ONCE instead of E times, and the
+    remaining layers -- shared weights -- run on the stacked (E,B,N,·)
+    batch as plain bigger matmuls.  Equal to the per-type loop the
+    reference runs (gnn/mpnn.py:209-212) up to float reassociation."""
+    E = cfg.n_edge_features
+    layers = att_params["layers"]
+    dt = hidden.dtype
+    w0 = layers[0]["w"].astype(dt)              # (H1, E + H): onehot cols first
+    z = hidden @ w0[:, E:].T                    # (B, N, H1)
+    bias = w0[:, :E].T + layers[0]["b"].astype(dt)          # (E, H1)
+    y = jax.nn.selu(z[None] + bias[:, None, None, :])       # (E, B, N, H1)
+    if train and dropout_p > 0.0 and rng is not None:
+        keys = jax.random.split(rng, len(layers))
+    else:
+        keys = [None] * len(layers)
+    if keys[0] is not None:
+        y = alpha_dropout(keys[0], y, dropout_p)
+    for lp, k in zip(layers[1:], keys[1:]):
+        y = jax.nn.selu(y @ lp["w"].T.astype(dt) + lp["b"].astype(dt))
+        if k is not None:
+            y = alpha_dropout(k, y, dropout_p)
+    return y
+
+
 def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
                  edges: jnp.ndarray, train: bool = False,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
@@ -233,16 +265,10 @@ def apply_atts2v(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
         per_type = jnp.einsum("bnh,emh->ebnm", hidden, M,
                               preferred_element_type=jnp.float32).astype(dt)
         # attention energies: att_enn([onehot_e, h_j]) per type, then pick
-        # the edge's type via the adjacency (gnn/mpnn.py:209-212)
-        att_per_type = []
-        for e in range(E):
-            onehot = jnp.zeros((E,), dt).at[e].set(1.0)
-            cat = jnp.concatenate(
-                [jnp.broadcast_to(onehot, hidden.shape[:2] + (E,)), hidden],
-                axis=-1)
-            att_per_type.append(mlp(params["att_enn"], cat,
-                                    cfg.att_dropout_p, train, keys[1]))
-        att_stack = jnp.stack(att_per_type)            # (E, B, N, M)
+        # the edge's type via the adjacency (gnn/mpnn.py:209-212); the
+        # per-type loop is folded into one stacked evaluation
+        att_stack = _att_enn_stack(cfg, params["att_enn"], hidden,
+                                   cfg.att_dropout_p, train, keys[1])
         if packed:
             messages = _packed_attention_messages(cfg, packing,
                                                   per_type, att_stack)

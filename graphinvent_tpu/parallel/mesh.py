@@ -211,3 +211,46 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
                 for k, v in batch.items()}
 
     return train_step, sharded_params, place_batch
+
+
+def make_sharded_nll_step(cfg: GraphInventConfig, mesh: Mesh, params: Params
+                          ) -> Tuple[Callable, Params, Callable]:
+    """Per-row correct-action NLL sharded over the mesh, for mesh-native
+    ``test`` jobs (train/step.py:make_likelihood_step semantics: rows with
+    valid==0 give garbage the caller masks away).  Same sharding rules as
+    the train step: batch over ``data``, TP head when widths divide, graph
+    -axis activation hints while tracing.  Returns
+    (nll_step, sharded_params, place_batch)."""
+    from graphinvent_tpu.models.annotate import edge_sharding
+    from graphinvent_tpu.train.loss import correct_action_likelihoods
+    tp = _shardable_head(params, mesh)
+    pspecs = param_specs(params, tp)
+    p_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), pspecs)
+    b_shardings = {k: NamedSharding(mesh, s) for k, s in batch_spec().items()}
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(p_shardings, b_shardings),
+        out_shardings=NamedSharding(mesh, P("data")))
+    def _nll(params, batch):
+        nodes = batch["nodes"].astype(compute_dtype)
+        edges = batch["edges"].astype(compute_dtype)
+        logits = apply_model(cfg, params, nodes, edges, train=False)
+        p = correct_action_likelihoods(logits.astype(jnp.float32),
+                                       batch["apds"])
+        return -jnp.log(jnp.maximum(p, 1e-30))
+
+    def nll_step(params, batch):
+        with edge_sharding(mesh):
+            return _nll(params, batch)
+
+    sharded_params = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(jnp.asarray(p), s), params, p_shardings)
+
+    def place_batch(batch):
+        return {k: jax.device_put(jnp.asarray(v), b_shardings[k])
+                for k, v in batch.items()}
+
+    return nll_step, sharded_params, place_batch

@@ -36,8 +36,15 @@ from graphinvent_tpu.utils.checkpoint import (
 Params = Any
 
 
-def _make_rl_grad(cfg: GraphInventConfig):
-    """Jitted value+grad of the combined RL loss w.r.t. agent params."""
+def _make_rl_grad(cfg: GraphInventConfig, mesh=None):
+    """Jitted value+grad of the combined RL loss w.r.t. agent params.
+
+    With ``mesh``, the replay-gradient step is sharded: trajectory rows
+    (actions / t_counts / targets / masks) partition over ``data``, params
+    stay replicated, and XLA all-reduces the gradients -- the same rules as
+    make_sharded_train_step (rollout rows are independent, so the RL step
+    scales exactly like a training batch).  The reference fine-tunes on one
+    device only (Workflow.py:515-612)."""
 
     def loss_fn(agent_params, actions_a, t_a, target_a, mask_a,
                 actions_b, t_b, target_b, mask_b, alpha):
@@ -51,13 +58,42 @@ def _make_rl_grad(cfg: GraphInventConfig):
         loss_b = jnp.mean(diff_b * diff_b * mask_b)
         return (1.0 - alpha) * loss_a + alpha * loss_b
 
-    return jax.jit(jax.value_and_grad(loss_fn))
+    if mesh is None:
+        return jax.jit(jax.value_and_grad(loss_fn))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    row = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(jax.value_and_grad(loss_fn),
+                     in_shardings=(repl, row, row, row, row,
+                                   row, row, row, row, repl),
+                     out_shardings=(repl, repl))
+
+    def run(*args):
+        from graphinvent_tpu.models.annotate import edge_sharding
+        with edge_sharding(mesh):       # graph-axis hints, if graph > 1
+            return jitted(*args)
+
+    return run
 
 
-def _make_loglik(cfg: GraphInventConfig):
+def _make_loglik(cfg: GraphInventConfig, mesh=None):
     """Jitted trajectory replay: calling trajectory_loglik raw executes the
     L-step scan op-by-op (seconds per call through the TPU tunnel)."""
-    return jax.jit(lambda p, a, t: trajectory_loglik(cfg, p, a, t))
+    fn = lambda p, a, t: trajectory_loglik(cfg, p, a, t)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    row = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(fn, in_shardings=(repl, row, row), out_shardings=row)
+
+    def run(*args):
+        from graphinvent_tpu.models.annotate import edge_sharding
+        with edge_sharding(mesh):
+            return jitted(*args)
+
+    return run
 
 
 def _make_adam(cfg: GraphInventConfig):
@@ -104,16 +140,31 @@ def learning_phase(workflow) -> None:
     path, restart_epoch = found
     print(f"-- Loading pre-trained model from {path}", flush=True)
     agent_params = load_params_any(cfg, path)
-    agent_params = jax.tree_util.tree_map(jnp.asarray, agent_params)
+    # the fine-tune job is mesh-native like training: rollouts shard over
+    # ``data`` in the sampler, the replay gradient shards its trajectory
+    # rows, host work is gated on process 0
+    mesh = workflow._sampler_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        agent_params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), agent_params)
+    else:
+        agent_params = jax.tree_util.tree_map(jnp.asarray, agent_params)
     prior_params = agent_params
     basf_params = agent_params          # "best agent so far"
 
     opt_state = adam_init(agent_params)
     schedule = onecycle_for_config(cfg, 1)
-    rl_grad = _make_rl_grad(cfg)
-    loglik = _make_loglik(cfg)
+    if mesh is not None and cfg.batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must divide by the data axis "
+            f"({mesh.shape['data']}) for sharded fine-tuning")
+    rl_grad = _make_rl_grad(cfg, mesh)
+    loglik = _make_loglik(cfg, mesh)
     adam_step = _make_adam(cfg)
-    sampler = GraphSampler(cfg, cfg.batch_size)
+    sampler = GraphSampler(cfg, cfg.batch_size, mesh=mesh)
+    primary = jax.process_index() == 0
     sigma, alpha = cfg.sigma, cfg.alpha
     best_avg_score = 0.0
     key = workflow.key
@@ -124,8 +175,10 @@ def learning_phase(workflow) -> None:
     # ---- pre-fine-tuning evaluation (Workflow.py:536-542) -----------------
     res = sampler.sample(agent_params, jax.random.fold_in(key, 999_999))
     scores0, _ = _score_batch(workflow, scoring_fn, analyzer, res,
-                              start_step - 1, "pre-fine-tuning", True)
-    logger.save_rl_metrics(start_step - 1, float(np.mean(scores0)), append=False)
+                              start_step - 1, "pre-fine-tuning", primary)
+    if primary:
+        logger.save_rl_metrics(start_step - 1, float(np.mean(scores0)),
+                               append=False)
 
     print("* Begin learning.", flush=True)
     for step in range(start_step, end_step):
@@ -134,7 +187,7 @@ def learning_phase(workflow) -> None:
         res_a = sampler.sample(agent_params, jax.random.fold_in(key, 2 * step),
                                quiet=True)
         scores_a, unique_a = _score_batch(workflow, scoring_fn, analyzer,
-                                          res_a, step, "agent", True)
+                                          res_a, step, "agent", primary)
         prior_ll = np.asarray(loglik(
             prior_params, jnp.asarray(res_a.actions),
             jnp.asarray(res_a.t_counts)))
@@ -142,10 +195,11 @@ def learning_phase(workflow) -> None:
         mask_a = jnp.asarray(unique_a != 0, jnp.float32)
         # per-step likelihood traces (reference: Workflow.py:738-743 +
         # util.tbwrite_loglikelihoods writes the negated loglikelihoods)
-        logger.tb_scalar("Fine-tuning/agent_nll",
-                         float(-np.mean(res_a.final_loglikelihoods)), step)
-        logger.tb_scalar("Fine-tuning/prior_nll",
-                         float(-np.mean(prior_ll)), step)
+        if primary:
+            logger.tb_scalar("Fine-tuning/agent_nll",
+                             float(-np.mean(res_a.final_loglikelihoods)), step)
+            logger.tb_scalar("Fine-tuning/prior_nll",
+                             float(-np.mean(prior_ll)), step)
 
         # ---- best-agent-so-far rollout (Workflow.py:588-591,743-747) ------
         res_b = sampler.sample(basf_params, jax.random.fold_in(key, 2 * step + 1),
@@ -174,19 +228,21 @@ def learning_phase(workflow) -> None:
         avg_score = float(np.mean(scores_a))
         print(f"Step {step}: loss {float(loss):.4f} avg_score "
               f"{avg_score:.4f} ({time.time()-t0:.1f}s)", flush=True)
-        logger.write_training_status(step, float(lr), float(loss), 0.0,
-                                     score=avg_score)
+        if primary:
+            logger.write_training_status(step, float(lr), float(loss), 0.0,
+                                         score=avg_score)
 
         if step % cfg.sample_every == 0:
             res_e = sampler.sample(agent_params,
                                    jax.random.fold_in(key, 10_000_000 + step),
                                    quiet=True)
             scores_e, _ = _score_batch(workflow, scoring_fn, analyzer, res_e,
-                                       step, "eval", True)
+                                       step, "eval", primary)
             eval_score = float(np.mean(scores_e))
-            logger.save_rl_metrics(step, eval_score)
-            save_checkpoint(checkpoint_path(cfg.job_dir, step), agent_params,
-                            opt_state, step)
+            if primary:
+                logger.save_rl_metrics(step, eval_score)
+                save_checkpoint(checkpoint_path(cfg.job_dir, step),
+                                agent_params, opt_state, step)
             if eval_score > best_avg_score:
                 best_avg_score = eval_score
                 basf_params = agent_params

@@ -43,6 +43,15 @@ def _scalar_int(x) -> int:
     return int(scalar(x))
 
 
+def eval_sample_key(base_key: jax.Array, epoch: int, batch_idx: int) -> jax.Array:
+    """Collision-free key for evaluation sampling batch ``batch_idx`` of
+    epoch ``epoch``: nested fold_in, so no (epoch, batch_idx) pair aliases
+    another (a flat ``epoch + batch_idx`` fold made (5,1) and (6,0) resample
+    identical molecule batches, correlating successive evaluations)."""
+    return jax.random.fold_in(jax.random.fold_in(base_key, 1000 + epoch),
+                              batch_idx)
+
+
 class Workflow:
     def __init__(self, cfg: GraphInventConfig) -> None:
         cfg.validate()
@@ -52,6 +61,11 @@ class Workflow:
         self.start_time = time.time()
         self.logger = JobLogger(cfg.job_dir, cfg.tensorboard_dir)
         self.key = jax.random.PRNGKey(cfg.seed)
+        # snapshot of the fully-resolved config this job actually runs with
+        # (reference: util.write_job_parameters, util.py:478-498 writes
+        # params.csv at the start of every job)
+        if jax.process_index() == 0:
+            cfg.write_csv(os.path.join(cfg.job_dir, "params.csv"))
 
         d = cfg.dataset_dir
         self.train_h5 = os.path.join(d, "train.h5")
@@ -362,8 +376,8 @@ class Workflow:
         n_done = 0
         batch_idx = 0
         while n_done < n_samples:
-            res = sampler.sample(params, jax.random.fold_in(self.key,
-                                                            1000 + epoch + batch_idx))
+            res = sampler.sample(params, eval_sample_key(self.key, epoch,
+                                                         batch_idx))
             analyzer.evaluate_generated_graphs(
                 res.graphs, res.properly_terminated,
                 res.final_loglikelihoods, epoch_key=f"Epoch {epoch}",
@@ -427,7 +441,20 @@ class Workflow:
         ts_props = self._load_ts_properties()
         analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
         params, epoch = self._load_model_for_inference()
-        nll_step = make_likelihood_step(cfg)
+        # mesh-native test job: NLL scoring shards over the configured mesh
+        # (the sampler below picks the same mesh up via _get_sampler)
+        mesh = self._sampler_mesh()
+        if mesh is not None:
+            from graphinvent_tpu.parallel import make_sharded_nll_step
+            if cfg.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must divide by the data "
+                    f"axis ({mesh.shape['data']}) for a sharded test job")
+            nll_step, params, place_batch = make_sharded_nll_step(
+                cfg, mesh, params)
+        else:
+            nll_step = make_likelihood_step(cfg)
+            place_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
 
         batch = min(cfg.batch_size, cfg.n_samples)
         sampler = self._get_sampler(batch)
@@ -440,7 +467,7 @@ class Workflow:
         def loader_nlls(loader):
             out, n = [], 0
             for b_np in loader:
-                b = {k: jnp.asarray(v) for k, v in b_np.items()}
+                b = place_batch(b_np)
                 nll = np.asarray(nll_step(params, b))
                 mask = b_np["valid"] > 0
                 out.append(nll[mask])

@@ -86,6 +86,54 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(o2.step) == 0
 
 
+def test_job_writes_params_snapshot(tmp_path):
+    """Every job records the fully-resolved config it runs with
+    (reference: util.write_job_parameters, util.py:478-498)."""
+    from graphinvent_tpu.config import GraphInventConfig
+    job_dir = str(tmp_path / "snap") + "/"
+    cfg = tiny_config("AttGGNN", job_dir=job_dir, message_passes=1)
+    Workflow(cfg)          # __init__ writes the snapshot
+    path = os.path.join(job_dir, "params.csv")
+    assert os.path.exists(path)
+    back = GraphInventConfig.from_csv(path)
+    assert back.model == "AttGGNN"
+    assert back.message_passes == 1
+    assert back.batch_size == cfg.batch_size
+
+
+def test_eval_sample_keys_never_collide():
+    """(epoch, batch_idx) evaluation keys are unique: a flat epoch+batch
+    fold made (5,1) and (6,0) draw identical molecule batches (round-2
+    verdict item 6a)."""
+    import jax
+    from graphinvent_tpu.workflow import eval_sample_key
+    base = jax.random.PRNGKey(0)
+    seen = {}
+    for epoch in range(8):
+        for batch in range(8):
+            k = tuple(np.asarray(eval_sample_key(base, epoch, batch)).tolist())
+            assert k not in seen, f"{(epoch, batch)} collides with {seen[k]}"
+            seen[k] = (epoch, batch)
+
+
+def test_uc_jsd_subsamples_uniformly():
+    """UC-JSD subsampling draws from the WHOLE larger array, not its head
+    (NLLs arrive in loader order -> head truncation is order-biased), and
+    is deterministic."""
+    from graphinvent_tpu.eval.analyzer import uc_jsd
+    rng = np.random.default_rng(0)
+    small = rng.uniform(1.0, 2.0, 100)
+    # big: first 100 entries match `small`'s distribution, tail differs a lot
+    big = np.concatenate([rng.uniform(1.0, 2.0, 100),
+                          rng.uniform(50.0, 60.0, 900)])
+    v = uc_jsd(small, big, small)
+    v_trunc = uc_jsd(small, big[:100], small)
+    assert v == uc_jsd(small, big, small)        # deterministic
+    # truncation would see only the matching head -> near-zero divergence;
+    # a uniform subsample must see the divergent tail
+    assert v > v_trunc * 2
+
+
 def test_nll_row_batches_unbiased():
     """NLL evaluation rows are drawn from the whole dataset, fresh per call
     (VERDICT r1: a fixed leading-rows sample biased the UC-JSD arms)."""

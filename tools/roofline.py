@@ -96,9 +96,13 @@ def synthetic_batch(cfg, batch_size: int, seed: int = 0):
     return nodes, edges, apds
 
 
-def measure(cfg, n_steps: int = 50, seed: int = 0):
+def measure(cfg, n_steps: int = 50, seed: int = 0, n_repeats: int = 1):
     """-> dict with flops, bytes, params, step time, edges/batch for one
-    train-step program at cfg's dims."""
+    train-step program at cfg's dims.  ``n_repeats`` > 1 times the scanned
+    program that many times and reports the MEDIAN step time plus min/max
+    spread (``step_time_min_s``/``step_time_max_s``) -- tunneled TPU timings
+    carry ±10% day-level variance (BASELINE.md), so single-shot numbers
+    can't attribute round-over-round deltas."""
     import jax
     import jax.numpy as jnp
     from graphinvent_tpu.models import apply_model, init_model
@@ -152,22 +156,28 @@ def measure(cfg, n_steps: int = 50, seed: int = 0):
         params, opt_state, loss = run_steps(params, opt_state,
                                             jax.random.fold_in(key, k))
         jax.block_until_ready(loss)
-    t0 = time.time()
-    params, opt_state, loss = run_steps(params, opt_state,
-                                        jax.random.fold_in(key, 7))
-    jax.block_until_ready(loss)
-    step_t = (time.time() - t0) / n_steps
+    times = []
+    for r in range(max(1, n_repeats)):
+        t0 = time.time()
+        params, opt_state, loss = run_steps(params, opt_state,
+                                            jax.random.fold_in(key, 7 + r))
+        jax.block_until_ready(loss)
+        times.append((time.time() - t0) / n_steps)
+    step_t = float(np.median(times))
 
     batch_bytes = (nodes.nbytes + edges.nbytes + apds.nbytes)
     return dict(
         flops=flops, transcendentals=transcendentals,
         hbm_bytes_modeled=hbm_bytes, batch_bytes=batch_bytes,
-        step_time_s=step_t, n_params=n_params,
+        step_time_s=step_t, step_time_min_s=float(min(times)),
+        step_time_max_s=float(max(times)), n_repeats=len(times),
+        n_params=n_params,
         edges_per_batch=float(edges_np.sum() / 2),
     )
 
 
-def roofline_row(cfg, spec, n_steps: int = 50, seed: int = 0) -> dict:
+def roofline_row(cfg, spec, n_steps: int = 50, seed: int = 0,
+                 n_repeats: int = 1) -> dict:
     """Speed-of-light accounting for one measured row.
 
     * ``t_mxu = flops / peak_bf16`` is a true lower bound on step time
@@ -182,7 +192,7 @@ def roofline_row(cfg, spec, n_steps: int = 50, seed: int = 0) -> dict:
       that hardware bound actually achieved, and ``bound`` names the
       resource that sets it.
     """
-    m = measure(cfg, n_steps=n_steps, seed=seed)
+    m = measure(cfg, n_steps=n_steps, seed=seed, n_repeats=n_repeats)
     row = dict(model=cfg.model, batch=cfg.batch_size, n=cfg.max_n_nodes,
                dtype=cfg.compute_dtype, packed=bool(cfg.emn_packed),
                **m)
