@@ -5,7 +5,7 @@ assembly -> sharded train step) as one of N coordinated processes on CPU.
 Launched by the parent test with a clean environment (no axon sitecustomize,
 JAX_PLATFORMS=cpu, one virtual device per process).
 
-argv: pid nproc port data_dir job_dir epochs
+argv: pid nproc port data_dir job_dir epochs [job_type]
 """
 
 import sys
@@ -14,6 +14,7 @@ import sys
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     data_dir, job_dir, epochs = sys.argv[4], sys.argv[5], int(sys.argv[6])
+    job_type = sys.argv[7] if len(sys.argv) > 7 else "train"
 
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -23,9 +24,10 @@ def main() -> None:
     from graphinvent_tpu.workflow import Workflow
 
     cfg = tiny_config(
-        "GGNN", job_type="train", dataset_dir=data_dir, job_dir=job_dir,
+        "GGNN", job_type=job_type, dataset_dir=data_dir, job_dir=job_dir,
         batch_size=8, block_size=16, epochs=epochs, sample_every=100,
-        dp_devices=nproc, coordinator_address=f"127.0.0.1:{port}",
+        dp_devices=nproc if job_type == "train" else 0,
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=nproc, process_id=pid)
     assert init_distributed(cfg), "distributed init did not trigger"
     assert jax.process_count() == nproc, jax.process_count()

@@ -58,6 +58,59 @@ def _subprocess_env():
     return env
 
 
+def test_two_process_preprocess_matches_single_process(tmp_path):
+    """A 2-process preprocess job (one shard per process, process 0
+    combines) produces BYTE-IDENTICAL HDFs + train.csv to a single-process
+    run of the same 2-shard plan (round-2 verdict item 4)."""
+    import h5py
+    from graphinvent_tpu.data.preprocess import preprocess_dataset
+
+    dirs = {}
+    for name in ("mp", "sp"):
+        d = str(tmp_path / name) + "/"
+        os.makedirs(d)
+        for split in ("train", "valid", "test"):
+            with open(os.path.join(d, f"{split}.smi"), "w") as fh:
+                fh.write("SMILES\n")
+                for s in SMILES:
+                    fh.write(s + "\n")
+        dirs[name] = d
+
+    # ---- 2 coordinated processes ------------------------------------------
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        job_dir = str(tmp_path / f"job{pid}") + "/"
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_runner.py"),
+             str(pid), "2", str(port), dirs["mp"], job_dir, "1", "preprocess"],
+            env=_subprocess_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+    # ---- single-process run of the same shard plan ------------------------
+    cfg = tiny_config("GGNN", job_type="preprocess", dataset_dir=dirs["sp"],
+                      job_dir=str(tmp_path / "spjob") + "/", batch_size=8,
+                      preprocess_num_shards=2)
+    preprocess_dataset(cfg)
+
+    for split in ("train", "valid", "test"):
+        with h5py.File(os.path.join(dirs["mp"], f"{split}.h5")) as a, \
+                h5py.File(os.path.join(dirs["sp"], f"{split}.h5")) as b:
+            for k in ("nodes", "edges", "APDs"):
+                np.testing.assert_array_equal(a[k][:], b[k][:])
+    csv_a = open(os.path.join(dirs["mp"], "train.csv")).read()
+    csv_b = open(os.path.join(dirs["sp"], "train.csv")).read()
+    assert csv_a == csv_b
+
+
 def test_two_process_training_matches_single_process(mh_env):
     data_dir, root = mh_env
     port = _free_port()
