@@ -67,6 +67,9 @@ def main() -> None:
     if "mfu" in row:
         out.update({
             "mfu": round(row["mfu"], 4),
+            # algorithmic-FLOPs MFU: packed one-hot/permutation overhead
+            # excluded (== mfu for GGNN, which has no packed path)
+            "mfu_algo": round(row["mfu_algo"], 4),
             "sol_fraction": round(row["sol_fraction"], 4),
             "bound": row["bound"],
             "chip": row["chip"],

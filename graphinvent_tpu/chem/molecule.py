@@ -122,12 +122,24 @@ class Molecule:
 
     # ------------------------------------------------------------------
     def explicit_valence(self, i: int) -> float:
-        """Sum of bond orders on atom i (aromatic bonds count 1.5)."""
+        """Sum of bond orders on atom i.  Aromatic bonds use the standard
+        toolkit rule ``valence = n_aromatic_bonds + 1`` (each ring bond
+        counts 1, plus one shared pi contribution): benzene C = 2+1 = 3,
+        a ring-fusion carbon (naphthalene) = 3+1 = 4.  A flat 1.5 per bond
+        would over-count fused systems (3 x 1.5 = 4.5 > carbon's maximum),
+        wrongly invalidating every fused aromatic under
+        use_aromatic_bonds."""
         total = 0.0
+        n_arom = 0
         for (a, b), t in self._bonds.items():
             if a == i or b == i:
-                total += 1.5 if t == 3 and (self.atoms[a].aromatic
-                                            and self.atoms[b].aromatic) else BOND_ORDER[t]
+                if t == 3 and (self.atoms[a].aromatic
+                               and self.atoms[b].aromatic):
+                    n_arom += 1
+                else:
+                    total += BOND_ORDER[t]
+        if n_arom:
+            total += n_arom + 1
         return total
 
     def implicit_h(self, i: int) -> int:

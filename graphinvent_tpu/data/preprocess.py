@@ -86,6 +86,18 @@ class Preprocessor:
         self.use_native = (native_available() and cfg.use_canon
                            and not cfg.use_chirality
                            and not cfg.use_aromatic_bonds)
+        if not self.use_native:
+            reasons = []
+            if not native_available():
+                reasons.append("native kernel unavailable")
+            if not cfg.use_canon:
+                reasons.append("use_canon=False")
+            if cfg.use_chirality:
+                reasons.append("use_chirality=True")
+            if cfg.use_aromatic_bonds:
+                reasons.append("use_aromatic_bonds=True")
+            print(f"-- Preprocessing {os.path.basename(smi_path)} on the "
+                  f"Python route path ({', '.join(reasons)})", flush=True)
 
     # ------------------------------------------------------------------
     def _molecules(self, start: int = 0) -> Iterator[Tuple[int, Molecule]]:

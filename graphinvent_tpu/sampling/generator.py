@@ -68,7 +68,12 @@ class SampleResult:
 
 def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
                  batch_size: int, apply_fn: Callable,
-                 mesh=None) -> Tuple[jnp.ndarray, ...]:
+                 mesh=None, fixed_rounds: Optional[int] = None
+                 ) -> Tuple[jnp.ndarray, ...]:
+    """``fixed_rounds``: run exactly that many action rounds via
+    ``lax.fori_loop`` instead of the early-exit ``while_loop`` -- identical
+    body; used by the sampler roofline (tools/roofline.py) where a static
+    trip count makes per-round cost attribution exact."""
     B = batch_size
     N = cfg.max_n_nodes
     Fn = cfg.n_node_features
@@ -137,7 +142,10 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
                     t=t, ll=ll, acts=acts_rec, done=done, term=term,
                     rounds=c["rounds"] + 1)
 
-    final = jax.lax.while_loop(cond, body, init)
+    if fixed_rounds is not None:
+        final = jax.lax.fori_loop(0, fixed_rounds, lambda _, c: body(c), init)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     return (final["nodes"].astype(jnp.uint8), final["edges"].astype(jnp.uint8),
             final["n_nodes"], final["ll"], final["acts"],
             final["term"].astype(jnp.uint8), final["t"], final["rounds"])

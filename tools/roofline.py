@@ -96,6 +96,44 @@ def synthetic_batch(cfg, batch_size: int, seed: int = 0):
     return nodes, edges, apds
 
 
+def packing_overhead_flops(cfg, forward_passes: int = 1) -> float:
+    """Analytic FLOPs of the packed formulations' one-hot/permutation
+    matmuls in ONE forward -- work the *algorithm* does not require (a
+    gather/segment-sum implementation would do ~0 FLOPs for the selects and
+    one add per edge-element for the reductions) but that we deliberately
+    spend to stay on the MXU (models/mpnn.py:_packed_attention_messages,
+    apply_emn_packed).  Program-FLOPs MFU counts these as useful work and
+    flatters the packed paths; ``mfu_algo`` excludes them.
+
+    Returns forward FLOPs; a train step's overhead is 2x this (each
+    overhead matmul contributes exactly one same-shape matmul to the
+    backward pass -- the one-hot operand is data, not differentiated).
+    """
+    from graphinvent_tpu.models.mpnn import _emn_edge_capacity
+    B = cfg.batch_size
+    N = cfg.max_n_nodes
+    E = cfg.n_edge_features
+    C = _emn_edge_capacity(cfg)
+    packed = cfg.emn_packed and C < N * N
+    if not packed:
+        return 0.0
+    P = cfg.message_passes
+    if cfg.model in ("AttS2V", "AttGGNN"):
+        M = cfg.message_size
+        select = 2 * E * 2.0 * B * C * N * M          # att_sel + emb_sel
+        segsum = 2 * (2.0 * B * C * N * M - B * C * M)  # S, T vs segment adds
+        return forward_passes * P * (select + segsum)
+    if cfg.model == "EMN":
+        D = cfg.edge_emb_size
+        at_rev = 2 * 2.0 * B * C * C * D              # exp_rev + emb_rev
+        contract = 2 * (2.0 * B * C * N * D - B * C * D)   # S, T
+        at_src = 2 * (2.0 * B * C * N * D - B * C * D)     # S_at, T_at
+        per_pass = at_rev + contract + at_src
+        final = 2.0 * B * C * N * D - B * C * D       # graph_sets
+        return forward_passes * (P * per_pass + final)
+    return 0.0
+
+
 def measure(cfg, n_steps: int = 50, seed: int = 0, n_repeats: int = 1):
     """-> dict with flops, bytes, params, step time, edges/batch for one
     train-step program at cfg's dims.  ``n_repeats`` > 1 times the scanned
@@ -198,17 +236,109 @@ def roofline_row(cfg, spec, n_steps: int = 50, seed: int = 0,
                **m)
     row["edges_per_s"] = m["edges_per_batch"] / m["step_time_s"]
     row["graphs_per_s"] = cfg.batch_size / m["step_time_s"]
+    # algorithmic FLOPs: program FLOPs minus the packed paths' one-hot /
+    # permutation matmul overhead (x2: forward + its backward images).
+    # mfu_algo is the honest number for cross-formulation comparison;
+    # mfu (program FLOPs) tracks how well the chosen program runs.
+    overhead = 2.0 * packing_overhead_flops(cfg)
+    row["overhead_flops"] = overhead
+    row["flops_algo"] = max(m["flops"] - overhead, 0.0)
     if spec is not None:
         hbm_min = 28.0 * m["n_params"] + m["batch_bytes"]
         t_mxu = m["flops"] / spec["peak_bf16"]
         t_hbm = hbm_min / spec["hbm_gbps"]
         row["mfu"] = m["flops"] / m["step_time_s"] / spec["peak_bf16"]
+        row["mfu_algo"] = (row["flops_algo"] / m["step_time_s"]
+                           / spec["peak_bf16"])
         row["hbm_min_bytes"] = hbm_min
         row["sol_step_time_s"] = max(t_mxu, t_hbm)
         row["sol_fraction"] = row["sol_step_time_s"] / m["step_time_s"]
         row["bound"] = "MXU" if t_mxu >= t_hbm else "HBM"
         row["chip"] = spec["name"]
     return row
+
+
+def measure_sampler(cfg, n_rounds: int = 16, seed: int = 0,
+                    n_repeats: int = 3):
+    """Per-action-round cost of the sampling program.
+
+    Runs the generator body (model forward + categorical sample + action
+    decode/apply + likelihood bookkeeping -- sampling/generator.py) for a
+    STATIC ``n_rounds`` via ``fori_loop``: the same body the production
+    ``while_loop`` executes, with the data-dependent exit removed so
+    per-round attribution is exact.  The reference's only sampling metric
+    is end-to-end molecules/s (GraphGenerator.py:67-71); this is the
+    hardware-position audit behind that number."""
+    import jax
+    from graphinvent_tpu.models import apply_model, init_model
+    from graphinvent_tpu.sampling.generator import _sample_loop
+
+    params = init_model(cfg, jax.random.PRNGKey(seed))
+    B = cfg.batch_size
+    apply_fn = lambda p, n, e: apply_model(cfg, p, n, e)
+    fn = jax.jit(lambda p, k: _sample_loop(cfg, p, k, B, apply_fn, None,
+                                           fixed_rounds=n_rounds))
+    key = jax.random.PRNGKey(1)
+    compiled = fn.lower(params, key).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
+
+    out = fn(params, key)
+    jax.block_until_ready(out[0])
+    times = []
+    for r in range(max(1, n_repeats)):
+        t0 = time.time()
+        out = fn(params, jax.random.fold_in(key, r))
+        jax.block_until_ready(out[0])
+        times.append((time.time() - t0) / n_rounds)
+    return dict(
+        round_time_s=float(np.median(times)),
+        round_time_min_s=float(min(times)),
+        round_time_max_s=float(max(times)),
+        flops_per_round=flops / n_rounds,
+        n_rounds=n_rounds,
+    )
+
+
+def sampler_row(cfg, spec, n_rounds: int = 16, seed: int = 0) -> dict:
+    """Sampler roofline row: per-round cost + device-side molecules/s at
+    the full action budget (every graph sampled to L = gen_action_budget
+    rounds -- the worst case; real batches exit as soon as all graphs
+    terminate, so production mol/s sits above this floor)."""
+    m = measure_sampler(cfg, n_rounds=n_rounds, seed=seed)
+    row = dict(model=cfg.model, batch=cfg.batch_size, n=cfg.max_n_nodes,
+               dtype=cfg.compute_dtype, packed=bool(cfg.emn_packed), **m)
+    max_rounds = cfg.gen_action_budget + 4
+    row["max_rounds"] = max_rounds
+    row["device_mol_per_s_full_budget"] = (
+        cfg.batch_size / (max_rounds * m["round_time_s"]))
+    overhead = packing_overhead_flops(cfg)     # 1 forward per round
+    row["flops_algo_per_round"] = max(m["flops_per_round"] - overhead, 0.0)
+    if spec is not None:
+        row["mfu"] = (m["flops_per_round"] / m["round_time_s"]
+                      / spec["peak_bf16"])
+        row["mfu_algo"] = (row["flops_algo_per_round"] / m["round_time_s"]
+                           / spec["peak_bf16"])
+        t_mxu = m["flops_per_round"] / spec["peak_bf16"]
+        # traffic floor per round: read the params once (bf16 live copies)
+        # -- loop state stays resident
+        row["sol_round_time_s"] = t_mxu
+        row["sol_fraction"] = t_mxu / m["round_time_s"]
+        row["bound"] = "MXU"
+        row["chip"] = spec["name"]
+    return row
+
+
+def fmt_sampler_row(r: dict) -> str:
+    base = (f"{r['model']:8s} B={r['batch']:<5d} N={r['n']:<3d} "
+            f"{'packed' if r['packed'] else 'dense ':6s} "
+            f"{r['round_time_s']*1e3:8.3f} ms/round  "
+            f"{r['flops_per_round']/1e9:7.2f} GF/round  "
+            f"{r['device_mol_per_s_full_budget']:9.0f} mol/s@budget")
+    if "mfu" in r:
+        base += f"  MFU {r['mfu']*100:5.1f}% (algo {r['mfu_algo']*100:5.1f}%)"
+    return base
 
 
 def fmt_row(r: dict) -> str:
@@ -219,6 +349,7 @@ def fmt_row(r: dict) -> str:
             f"{r['edges_per_s']/1e6:7.2f} Me/s")
     if "mfu" in r:
         base += (f"  MFU {r['mfu']*100:5.1f}%"
+                 f" (algo {r['mfu_algo']*100:5.1f}%)"
                  f"  SoL {r['sol_fraction']*100:5.1f}% ({r['bound']})")
     return base
 
@@ -231,6 +362,11 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--packed", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument("--sampler", action="store_true",
+                    help="roofline the SAMPLING loop (per-action-round cost) "
+                         "instead of the train step")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="timed repeats; median + min/max spread reported")
     ap.add_argument("--json", default=None,
                     help="append one JSON line per row to this file")
     args = ap.parse_args()
@@ -255,13 +391,17 @@ def main() -> None:
             cfg = preset(model.strip(), **kw)
             steps = args.steps if n <= 13 else max(5, args.steps // (n // 13))
             try:
-                row = roofline_row(cfg, spec, n_steps=steps)
+                if args.sampler:
+                    row = sampler_row(cfg, spec, n_rounds=min(16, steps))
+                else:
+                    row = roofline_row(cfg, spec, n_steps=steps,
+                                       n_repeats=args.repeats)
             except Exception as exc:   # e.g. HBM OOM on dense large-N rows
                 print(f"{model:8s} B={args.batch:<5d} N={n:<3d} FAILED: "
                       f"{type(exc).__name__}: {str(exc)[:120]}")
                 continue
             rows.append(row)
-            print(fmt_row(row))
+            print(fmt_sampler_row(row) if args.sampler else fmt_row(row))
             if args.json:
                 with open(args.json, "a") as fh:
                     fh.write(json.dumps(row) + "\n")
