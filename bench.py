@@ -42,6 +42,8 @@ def torch_baseline_eps() -> float:
 
 
 def main() -> None:
+    from graphinvent_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     from graphinvent_tpu.config import preset
     from tools.roofline import chip_spec, roofline_row

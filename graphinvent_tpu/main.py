@@ -35,6 +35,11 @@ def main() -> None:
     if overrides:
         cfg = cfg.replace(**overrides)
 
+    # persistent XLA compile cache: repeat runs of a configuration skip the
+    # multi-minute large-graph compiles (utils/compile_cache.py)
+    from graphinvent_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     # multi-host wiring must happen before any jax backend use (no-op for
     # single-process jobs; parallel/multihost.py)
     from graphinvent_tpu.parallel.multihost import init_distributed

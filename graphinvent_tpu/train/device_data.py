@@ -83,7 +83,8 @@ def nll_row_batches(n_total: int, max_rows: int, batch_size: int,
     return padded.reshape(n_batches, batch_size)
 
 
-def _gather_batch(data: DeviceDataset, idx: jnp.ndarray, compute_dtype
+def _gather_batch(nodes: jnp.ndarray, edges: jnp.ndarray, apds: jnp.ndarray,
+                  idx: jnp.ndarray, compute_dtype
                   ) -> Dict[str, jnp.ndarray]:
     # constrain() is identity without an ambient mesh; inside a mesh-wrapped
     # epoch fn (make_epoch_*_fn(..., mesh=...)) it shards the batch rows
@@ -91,11 +92,11 @@ def _gather_batch(data: DeviceDataset, idx: jnp.ndarray, compute_dtype
     from graphinvent_tpu.models.annotate import constrain
     safe = jnp.maximum(idx, 0)
     return {
-        "nodes": constrain(jnp.take(data.nodes, safe, axis=0)
+        "nodes": constrain(jnp.take(nodes, safe, axis=0)
                            .astype(compute_dtype), "data"),
-        "edges": constrain(jnp.take(data.edges, safe, axis=0)
+        "edges": constrain(jnp.take(edges, safe, axis=0)
                            .astype(compute_dtype), "data"),
-        "apds": constrain(jnp.take(data.apds, safe, axis=0)
+        "apds": constrain(jnp.take(apds, safe, axis=0)
                           .astype(jnp.float32), "data"),
         "valid": constrain((idx >= 0).astype(jnp.float32), "data"),
     }
@@ -120,7 +121,13 @@ def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
     (params, opt_state, mean_loss)`` -- a full epoch in one device call.
     With ``mesh``, every batch shards over ``data`` (and node/pair axes
     over ``graph``) via the constraints in _gather_batch / the model
-    forwards; params/opt must be pre-placed (parallel.place_training_state)."""
+    forwards; params/opt must be pre-placed (parallel.place_training_state).
+
+    The dataset arrays enter the jit as ARGUMENTS, never as closure
+    captures: a closed-over jax.Array is embedded in the HLO as a
+    constant, and on remote-dispatch backends the whole dataset would
+    ride inside every compile request (a 500 MB ChEMBL-scale set
+    overflows the axon tunnel's request limit with HTTP 413)."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, batch, rng):
@@ -130,10 +137,11 @@ def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
                            batch["valid"])
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, perm, rng):
+    def epoch_fn(params, opt_state, d_nodes, d_edges, d_apds, perm, rng):
         def step(carry, idx):
             params, opt_state = carry
-            batch = _gather_batch(data, idx, compute_dtype)
+            batch = _gather_batch(d_nodes, d_edges, d_apds, idx,
+                                  compute_dtype)
             step_rng = jax.random.fold_in(rng, opt_state.step)
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
             lr, beta1 = schedule(opt_state.step)
@@ -144,7 +152,11 @@ def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
             step, (params, opt_state), perm)
         return params, opt_state, jnp.mean(losses)
 
-    return _mesh_wrap(epoch_fn, mesh)
+    def run(params, opt_state, perm, rng):
+        return epoch_fn(params, opt_state, data.nodes, data.edges,
+                        data.apds, perm, rng)
+
+    return _mesh_wrap(run, mesh)
 
 
 def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset,
@@ -153,9 +165,10 @@ def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset,
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     @jax.jit
-    def eval_fn(params, perm):
+    def eval_fn(params, d_nodes, d_edges, d_apds, perm):
         def step(_, idx):
-            batch = _gather_batch(data, idx, compute_dtype)
+            batch = _gather_batch(d_nodes, d_edges, d_apds, idx,
+                                  compute_dtype)
             logits = apply_model(cfg, params, batch["nodes"], batch["edges"])
             loss = apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
                                batch["valid"])
@@ -164,7 +177,10 @@ def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset,
         _, losses = jax.lax.scan(step, None, perm)
         return jnp.mean(losses)
 
-    return _mesh_wrap(eval_fn, mesh)
+    def run(params, perm):
+        return eval_fn(params, data.nodes, data.edges, data.apds, perm)
+
+    return _mesh_wrap(run, mesh)
 
 
 def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset,
@@ -174,9 +190,10 @@ def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset,
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     @jax.jit
-    def nll_fn(params, perm):
+    def nll_fn(params, d_nodes, d_edges, d_apds, perm):
         def step(_, idx):
-            batch = _gather_batch(data, idx, compute_dtype)
+            batch = _gather_batch(d_nodes, d_edges, d_apds, idx,
+                                  compute_dtype)
             logits = apply_model(cfg, params, batch["nodes"], batch["edges"])
             p = correct_action_likelihoods(logits.astype(jnp.float32),
                                            batch["apds"])
@@ -185,4 +202,7 @@ def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset,
         _, (nlls, valid) = jax.lax.scan(step, None, perm)
         return nlls.reshape(-1), valid.reshape(-1)
 
-    return _mesh_wrap(nll_fn, mesh)
+    def run(params, perm):
+        return nll_fn(params, data.nodes, data.edges, data.apds, perm)
+
+    return _mesh_wrap(run, mesh)

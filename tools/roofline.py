@@ -371,6 +371,8 @@ def main() -> None:
                     help="append one JSON line per row to this file")
     args = ap.parse_args()
 
+    from graphinvent_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     from graphinvent_tpu.config import preset
 
