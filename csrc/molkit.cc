@@ -95,13 +95,23 @@ std::vector<int> allowed_valences(const std::string& el, int charge) {
   return out;
 }
 
+bool needs_double_bond(const Mol& m, int i);   // == molecule.needs_pi_bond
+
 double explicit_valence(const Mol& m, int i) {
+  // Aromatic bonds follow the toolkit rule (mirror of chem/molecule.py
+  // explicit_valence): each ring bond counts 1, plus one pi contribution
+  // when the atom donates a pi electron (needs_pi_bond) -- benzene C =
+  // 2+1 = 3, ring-fusion C (naphthalene) = 3+1 = 4, but lone-pair donors
+  // (pyrrole [nH], furan O) get just n_arom.  A flat 1.5/bond over-counts
+  // fused systems; a flat n_arom+1 over-counts lone-pair donors.
   double total = 0;
+  int n_arom = 0;
   for (auto& [a, b, t] : m.bonds) {
     if (a != i && b != i) continue;
-    if (t == 3 && m.atoms[a].aromatic && m.atoms[b].aromatic) total += 1.5;
+    if (t == 3 && m.atoms[a].aromatic && m.atoms[b].aromatic) ++n_arom;
     else total += (t == 0 ? 1 : t == 1 ? 2 : t == 2 ? 3 : 1);
   }
+  if (n_arom > 0) total += n_arom + (needs_double_bond(m, i) ? 1 : 0);
   return total;
 }
 
@@ -261,7 +271,8 @@ bool kekulize(Mol* m) {
   return true;
 }
 
-bool parse_smiles(const std::string& smiles, Mol* mol) {
+bool parse_smiles(const std::string& smiles, Mol* mol,
+                  bool kekulize_mol = true) {
   std::vector<int> branch;
   int prev = -1;
   int pending_bond = -2;  // -2: none
@@ -360,7 +371,7 @@ bool parse_smiles(const std::string& smiles, Mol* mol) {
 
   bool any_arom = false;
   for (auto& a : mol->atoms) any_arom |= a.aromatic;
-  if (any_arom && !kekulize(mol)) return false;
+  if (kekulize_mol && any_arom && !kekulize(mol)) return false;
   return sanitize_ok(*mol);
 }
 
@@ -641,10 +652,14 @@ int mk_route(const char* smiles,
              const int* charges, int n_charges,
              const int* imp_hs, int n_imp_h,  // n_imp_h==0 -> unused
              int n_edge_types, int max_n_nodes, int use_canon, int use_bfs,
+             int use_aromatic,
              int8_t* nodes_out, int8_t* edges_out, int8_t* apd_out, int cap) {
   if (!smiles || !atom_types_joined || cap <= 0) return -2;
+  if (use_aromatic && n_edge_types < 4) return -2;
   Mol m;
-  if (!parse_smiles(smiles, &m)) return 0;
+  // use_aromatic_bonds mode: keep aromatic (type-3) bonds un-kekulized
+  // (mirror of data/preprocess.py mol_from_smiles kekulize_mol flag)
+  if (!parse_smiles(smiles, &m, /*kekulize_mol=*/!use_aromatic)) return 0;
   int n = m.n();
   if (n == 0 || n > max_n_nodes) return 0;
 

@@ -123,12 +123,13 @@ class Molecule:
     # ------------------------------------------------------------------
     def explicit_valence(self, i: int) -> float:
         """Sum of bond orders on atom i.  Aromatic bonds use the standard
-        toolkit rule ``valence = n_aromatic_bonds + 1`` (each ring bond
-        counts 1, plus one shared pi contribution): benzene C = 2+1 = 3,
-        a ring-fusion carbon (naphthalene) = 3+1 = 4.  A flat 1.5 per bond
-        would over-count fused systems (3 x 1.5 = 4.5 > carbon's maximum),
-        wrongly invalidating every fused aromatic under
-        use_aromatic_bonds."""
+        toolkit rule: each ring bond counts 1, plus one pi contribution if
+        the atom donates a pi electron to the ring (``needs_pi_bond``) --
+        benzene C = 2+1 = 3, a ring-fusion carbon (naphthalene) = 3+1 = 4,
+        but pyrrole [nH] / furan O donate a LONE PAIR, not a pi electron,
+        so they get just n_arom (pyrrole N: 2+1H = 3, valid).  A flat 1.5
+        per bond would over-count fused systems (3 x 1.5 = 4.5 > carbon's
+        maximum); a flat n_arom+1 would over-count lone-pair donors."""
         total = 0.0
         n_arom = 0
         for (a, b), t in self._bonds.items():
@@ -139,7 +140,7 @@ class Molecule:
                 else:
                     total += BOND_ORDER[t]
         if n_arom:
-            total += n_arom + 1
+            total += n_arom + (1 if needs_pi_bond(self, i) else 0)
         return total
 
     def implicit_h(self, i: int) -> int:
@@ -291,3 +292,39 @@ class Molecule:
                           a.aromatic, a.isotope) for a in self.atoms]
         out._bonds = dict(self._bonds)
         return out
+
+
+def needs_pi_bond(mol: Molecule, i: int) -> bool:
+    """True if aromatic atom i donates a pi electron to its ring (i.e. must
+    receive one double bond when kekulizing); lone-pair donors (pyrrole
+    [nH], furan O, thiophene S) return False.  Shared by the kekulizer
+    (chem/smiles.py) and the aromatic valence model (explicit_valence)."""
+    atom = mol.atoms[i]
+    # exocyclic or in-ring explicit double/triple bond already present?
+    for j in mol.neighbors(i):
+        t = mol.bond_type(i, j)
+        if t in (1, 2):
+            return False
+    # count explicit connections (aromatic + single bonds) + declared Hs
+    degree = mol.degree(i)
+    n_h = atom.n_implicit_h or 0
+    sigma = degree + n_h
+    el, q = atom.element, atom.charge
+    if el == "C":
+        # c with 3 ring/substituent connections and no charge needs a double
+        # bond; carbanion/carbocation in ring do not.
+        return q == 0 or sigma < 3
+    if el == "N" or el == "P":
+        if q == 1:
+            # protonated pyridinium [nH+] with sigma 3 -> needs double bond
+            return sigma <= 3 and n_h + degree <= 3
+        # neutral n: pyridine-type (2 connections, no H) needs a double bond;
+        # pyrrole-type (3 connections or an H) does not.
+        return sigma <= 2
+    if el in ("O", "S", "Se"):
+        # furan/thiophene contribute a lone pair: no double bond (unless
+        # positively charged, e.g. pyrylium o+)
+        return q == 1
+    if el == "B":
+        return False
+    return sigma <= 2

@@ -63,6 +63,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
         ]
@@ -82,13 +83,15 @@ def native_route(smiles: str, cfg: GraphInventConfig, cap: int = 512
 
     Returns the same list of (nodes, edges, apd) triples as
     chem.molgraph.decoding_route, or None when the native path can't handle
-    the request (no library, chirality/aromatic-bond configs, random
-    ordering, parse failure -- caller decides whether to fall back or skip).
+    the request (no library, chirality config, random ordering, parse
+    failure -- caller decides whether to fall back or skip).
+    use_aromatic_bonds is fully supported (un-kekulized type-3 bonds,
+    fused-ring valence rule), matching the Python path byte for byte.
     """
     lib = _load()
     if lib is None:
         return None
-    if cfg.use_chirality or not cfg.use_canon or cfg.use_aromatic_bonds:
+    if cfg.use_chirality or not cfg.use_canon:
         return None
     M, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
     apd_len = cfg.dim_apd
@@ -106,6 +109,7 @@ def native_route(smiles: str, cfg: GraphInventConfig, cap: int = 512
         smiles.encode(), ";".join(cfg.atom_types).encode(),
         charges, cfg.n_formal_charge, imp, n_imp,
         E, M, 1, 1 if cfg.decoding_route == "bfs" else 0,
+        1 if cfg.use_aromatic_bonds else 0,
         nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         apds.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), cap)

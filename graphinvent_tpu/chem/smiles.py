@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from graphinvent_tpu.chem.molecule import (
-    Atom, Molecule, SanitizeError, allowed_valences,
+    Atom, Molecule, SanitizeError, allowed_valences, needs_pi_bond,
 )
 
 ORGANIC_SUBSET = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I"}
@@ -218,7 +218,7 @@ def kekulize(mol: Molecule) -> None:
     # which aromatic atoms need one double bond in the kekule structure?
     needs: Dict[int, bool] = {}
     for i in arom_atoms:
-        needs[i] = _needs_double_bond(mol, i)
+        needs[i] = needs_pi_bond(mol, i)
 
     # adjacency restricted to aromatic bonds
     adj: Dict[int, List[int]] = {i: [] for i in arom_atoms}
@@ -262,39 +262,6 @@ def kekulize(mol: Molecule) -> None:
         atom.aromatic = False
         # aromatic N written as plain "n" (no H-count) gets its H from the
         # valence model after kekulization; explicit [nH] keeps its count.
-
-
-def _needs_double_bond(mol: Molecule, i: int) -> bool:
-    """True if aromatic atom i must receive one double bond when kekulizing."""
-    atom = mol.atoms[i]
-    # exocyclic or in-ring explicit double bond already present?
-    for j in mol.neighbors(i):
-        t = mol.bond_type(i, j)
-        if t in (1, 2):
-            return False
-    # count explicit connections (aromatic + single bonds) + declared Hs
-    degree = mol.degree(i)
-    n_h = atom.n_implicit_h or 0
-    sigma = degree + n_h
-    el, q = atom.element, atom.charge
-    if el == "C":
-        # c with 3 ring/substituent connections and no charge needs a double
-        # bond; carbanion/carbocation in ring do not.
-        return q == 0 or sigma < 3
-    if el == "N" or el == "P":
-        if q == 1:
-            # protonated pyridinium [nH+] with sigma 3 -> needs double bond
-            return sigma <= 3 and n_h + degree <= 3
-        # neutral n: pyridine-type (2 connections, no H) needs a double bond;
-        # pyrrole-type (3 connections or an H) does not.
-        return sigma <= 2
-    if el in ("O", "S", "Se"):
-        # furan/thiophene contribute a lone pair: no double bond (unless
-        # positively charged, e.g. pyrylium o+)
-        return q == 1
-    if el == "B":
-        return False
-    return sigma <= 2
 
 
 # ==========================================================================

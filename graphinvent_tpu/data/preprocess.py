@@ -84,8 +84,7 @@ class Preprocessor:
         # native C++ route kernel (csrc/molkit.cc); byte-identical to the
         # Python path, used when the config is in its supported envelope
         self.use_native = (native_available() and cfg.use_canon
-                           and not cfg.use_chirality
-                           and not cfg.use_aromatic_bonds)
+                           and not cfg.use_chirality)
         if not self.use_native:
             reasons = []
             if not native_available():
@@ -94,8 +93,6 @@ class Preprocessor:
                 reasons.append("use_canon=False")
             if cfg.use_chirality:
                 reasons.append("use_chirality=True")
-            if cfg.use_aromatic_bonds:
-                reasons.append("use_aromatic_bonds=True")
             print(f"-- Preprocessing {os.path.basename(smi_path)} on the "
                   f"Python route path ({', '.join(reasons)})", flush=True)
 

@@ -208,6 +208,29 @@ def test_preprocess_single_shard_job(dataset_dir):
     assert not os.path.exists(os.path.join(dataset_dir, "train.h5"))
     assert not os.path.exists(os.path.join(dataset_dir, "train.h5.shard0"))
 
+    # complete the manual merge flow: run shard 0, merge with the CLI, and
+    # check the merge step completes the dataset (train.csv AND
+    # preprocessing_params.csv -- without the latter every later job loses
+    # the config cross-check silently)
+    import subprocess, sys
+    preprocess_dataset(cfg.replace(preprocess_shard_index=0))
+    job_dir = os.path.join(dataset_dir, "prejob/")
+    os.makedirs(job_dir, exist_ok=True)
+    cfg.replace(job_dir=job_dir).write_csv(os.path.join(job_dir, "input.csv"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "combine_hdfs.py"),
+         os.path.join(dataset_dir, "train.h5"),
+         os.path.join(dataset_dir, "train.h5.shard0"),
+         os.path.join(dataset_dir, "train.h5.shard1"),
+         "--job-dir", job_dir],
+        check=True, env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert os.path.exists(os.path.join(dataset_dir, "train.h5"))
+    assert os.path.exists(os.path.join(dataset_dir, "train.csv"))
+    assert os.path.exists(os.path.join(dataset_dir,
+                                       "preprocessing_params.csv"))
+    preset("GGNN", dataset_dir=dataset_dir).check_preprocessing_params()
+
 
 def test_block_loader_covers_dataset(dataset_dir):
     cfg = preset("GGNN", dataset_dir=dataset_dir, batch_size=16)

@@ -1,0 +1,155 @@
+"""ChEMBL-scale acceptance campaign, end to end, one command.
+
+The reference's acceptance test is "train on MOSES, generate 30k, evaluate"
+(reference: tutorials/5_benchmarking_with_moses.md:1-6) with datasets built
+by tools/tdc-create-dataset.py (<= 80 heavy atoms, charges {-1,0,1}).  This
+environment has no network access, so the campaign synthesizes a ChEMBL-
+proxy dataset locally (tools/synthesize_smiles.py) and then runs the exact
+job flow a MOSES campaign would: sharded preprocess -> combine -> train ->
+generate 30k -> test.  Every stage is an ordinary job of this framework --
+nothing here is special-cased for the campaign.
+
+    python tools/campaign_chembl.py --root /tmp/chembl40 \
+        [--n 6000] [--min-atoms 25] [--max-atoms 40] [--shards 4] \
+        [--epochs 40] [--model GGNN] [--n-generate 30000] [--stage all]
+
+Stages (each is skipped automatically when its outputs already exist, so
+the campaign is resumable): data, preprocess, train, generate, test.
+Results land in <root>/jobs/train-<model>/ (generation.log, test .log,
+checkpoints) -- the numbers recorded in BASELINE.md "Round 3".
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPU_ENV = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+TPU_ENV = {"PYTHONPATH": f"/root/.axon_site:{REPO}"
+           if os.path.isdir("/root/.axon_site") else REPO}
+
+
+def run(cmd: list, env_extra: dict, tag: str) -> float:
+    env = dict(os.environ)
+    env.update(env_extra)
+    t0 = time.time()
+    print(f"== [{tag}] {' '.join(map(str, cmd))}", flush=True)
+    subprocess.run([str(c) for c in cmd], env=env, check=True)
+    dt = time.time() - t0
+    print(f"== [{tag}] done in {dt:.1f} s", flush=True)
+    return dt
+
+
+def dataset_overrides(args) -> list:
+    return [
+        "--set", 'atom_types=["C","N","O","S","Cl"]',
+        "--set", "formal_charge=[-1,0,1]",
+        "--set", f"max_n_nodes={args.max_atoms}",
+        "--set", "use_aromatic_bonds=True",
+    ]
+
+
+def stage_data(args) -> None:
+    data = os.path.join(args.root, "data")
+    raw = os.path.join(args.root, "raw.smi")
+    if os.path.exists(os.path.join(data, "train.smi")):
+        print("== [data] train.smi exists, skipping", flush=True)
+        return
+    run([sys.executable, f"{REPO}/tools/synthesize_smiles.py", raw,
+         "--n", args.n, "--min-atoms", args.min_atoms,
+         "--max-atoms", args.max_atoms, "--aromatic", "--seed", args.seed],
+        CPU_ENV, "data")
+    run([sys.executable, f"{REPO}/tools/create_dataset.py", raw, data,
+         "--max-atoms", args.max_atoms, "--charges", "-1", "0", "1",
+         "--valid-frac", "0.05", "--test-frac", "0.05"], CPU_ENV, "data")
+
+
+def stage_preprocess(args) -> None:
+    data = os.path.join(args.root, "data")
+    if os.path.exists(os.path.join(data, "train.h5")):
+        print("== [preprocess] train.h5 exists, skipping", flush=True)
+        return
+    # one OS process per shard -- the reference's split/merge SLURM flow
+    # (submit-split-preprocessing-supercloud.py) as plain config
+    procs = []
+    env = dict(os.environ)
+    env.update(CPU_ENV)
+    for k in range(args.shards):
+        cmd = [sys.executable, f"{REPO}/tools/submit.py",
+               "--job-dir", os.path.join(args.root, "jobs", f"pre{k}"),
+               "--job-type", "preprocess", "--dataset-dir", data + "/",
+               "--model", args.model,
+               *dataset_overrides(args),
+               "--set", f"preprocess_num_shards={args.shards}",
+               "--set", f"preprocess_shard_index={k}"]
+        procs.append(subprocess.Popen(cmd, env=env))
+    for p in procs:
+        if p.wait() != 0:
+            raise RuntimeError("preprocess shard failed")
+    for split in ("train", "valid", "test"):
+        shards = [os.path.join(data, f"{split}.h5.shard{k}")
+                  for k in range(args.shards)]
+        run([sys.executable, f"{REPO}/tools/combine_hdfs.py",
+             os.path.join(data, f"{split}.h5"), *shards,
+             "--job-dir", os.path.join(args.root, "jobs", "pre0")],
+            CPU_ENV, "combine")
+
+
+def job(args, name: str, job_type: str, *extra) -> None:
+    run([sys.executable, f"{REPO}/tools/submit.py",
+         "--job-dir", os.path.join(args.root, "jobs", name),
+         "--job-type", job_type,
+         "--dataset-dir", os.path.join(args.root, "data") + "/",
+         "--model", args.model, *dataset_overrides(args),
+         "--set", f"batch_size={args.batch_size}",
+         "--set", "compute_dtype=bfloat16", *extra], TPU_ENV, job_type)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/chembl40")
+    ap.add_argument("--n", type=int, default=6000)
+    ap.add_argument("--min-atoms", type=int, default=25)
+    ap.add_argument("--max-atoms", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--model", default="GGNN")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=1000)
+    ap.add_argument("--n-generate", type=int, default=30000)
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "data", "preprocess", "train",
+                             "generate", "test"])
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+
+    stages = ([args.stage] if args.stage != "all"
+              else ["data", "preprocess", "train", "generate", "test"])
+    train_dir = f"train-{args.model.lower()}"
+    for st in stages:
+        if st == "data":
+            stage_data(args)
+        elif st == "preprocess":
+            stage_preprocess(args)
+        elif st == "train":
+            job(args, train_dir, "train",
+                "--set", f"epochs={args.epochs}",
+                "--set", "sample_every=10", "--set", "n_samples=2000")
+        elif st == "generate":
+            job(args, train_dir, "generate",
+                "--set", f"generation_epoch={args.epochs}",
+                "--set", f"n_samples={args.n_generate}")
+        elif st == "test":
+            job(args, train_dir, "test",
+                "--set", f"generation_epoch={args.epochs}")
+    print("== campaign complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,3 +33,11 @@ if __name__ == "__main__":
     out = combine_shards(args[1:], args[0], cfg=cfg,
                          is_training_set=args[0].endswith("train.h5"))
     print(f"wrote {out}")
+    if cfg is not None and args[0].endswith("train.h5"):
+        # per-job shard runs skip the params CSV (preprocess.py partial_run);
+        # the merge step is the single point that completes the dataset, so
+        # write it here or later jobs silently lose the cross-check
+        from graphinvent_tpu.data.preprocess import (
+            write_preprocessing_params_csv,
+        )
+        write_preprocessing_params_csv(cfg)
