@@ -29,7 +29,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.train.loss import apd_kl_loss
-from graphinvent_tpu.train.optim import AdamState, OneCycle, adam_update
+from graphinvent_tpu.train.optim import (
+    AdamState, OneCycle, adam_update, onecycle_eval,
+)
 from graphinvent_tpu.models import apply_model
 
 Params = Any
@@ -186,14 +188,20 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
         return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
                            batch.get("valid"))
 
+    # schedule constants as a replicated input vector, not HLO constants:
+    # all epoch counts / LR choices share one compiled program
+    sched_v = schedule.device_params()
+    cycle_momentum = schedule.cycle_momentum
+
     @functools.partial(
         jax.jit,
-        in_shardings=(p_shardings, opt_shardings, b_shardings, rng_sharding),
+        in_shardings=(p_shardings, opt_shardings, b_shardings, rng_sharding,
+                      NamedSharding(mesh, P())),
         out_shardings=(p_shardings, opt_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0, 1))
-    def _train_step(params, opt_state, batch, rng):
+    def _train_step(params, opt_state, batch, rng, sched):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        lr, beta1 = schedule(opt_state.step)
+        lr, beta1 = onecycle_eval(sched, opt_state.step, cycle_momentum)
         params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
         return params, opt_state, loss
 
@@ -201,7 +209,7 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
         # the context only matters while the jit traces (first call); after
         # that it's a no-op wrapper
         with edge_sharding(mesh):
-            return _train_step(params, opt_state, batch, rng)
+            return _train_step(params, opt_state, batch, rng, sched_v)
 
     sharded_params = jax.tree_util.tree_map(
         lambda p, s: jax.device_put(jnp.asarray(p), s), params, p_shardings)

@@ -25,7 +25,9 @@ from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.data.loader import HDFDataset
 from graphinvent_tpu.models import apply_model
 from graphinvent_tpu.train.loss import apd_kl_loss, correct_action_likelihoods
-from graphinvent_tpu.train.optim import AdamState, OneCycle, adam_update
+from graphinvent_tpu.train.optim import (
+    AdamState, OneCycle, adam_update, onecycle_eval,
+)
 
 Params = Any
 
@@ -136,15 +138,22 @@ def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
         return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
                            batch["valid"])
 
+    # schedule constants enter as an ARGUMENT too (OneCycle.device_params):
+    # baked into the HLO they would force a fresh multi-minute compile for
+    # every distinct epochs / init_lr choice
+    sched_v = schedule.device_params()
+    cycle_momentum = schedule.cycle_momentum
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, d_nodes, d_edges, d_apds, perm, rng):
+    def epoch_fn(params, opt_state, d_nodes, d_edges, d_apds, perm, rng,
+                 sched):
         def step(carry, idx):
             params, opt_state = carry
             batch = _gather_batch(d_nodes, d_edges, d_apds, idx,
                                   compute_dtype)
             step_rng = jax.random.fold_in(rng, opt_state.step)
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
-            lr, beta1 = schedule(opt_state.step)
+            lr, beta1 = onecycle_eval(sched, opt_state.step, cycle_momentum)
             params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
             return (params, opt_state), loss
 
@@ -154,7 +163,7 @@ def make_epoch_train_fn(cfg: GraphInventConfig, schedule: OneCycle,
 
     def run(params, opt_state, perm, rng):
         return epoch_fn(params, opt_state, data.nodes, data.edges,
-                        data.apds, perm, rng)
+                        data.apds, perm, rng, sched_v)
 
     return _mesh_wrap(run, mesh)
 

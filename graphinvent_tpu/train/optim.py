@@ -46,27 +46,54 @@ class OneCycle:
 
     def __call__(self, step: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """step (0-based, float or int) -> (lr, beta1)."""
-        step = jnp.asarray(step, jnp.float32)
+        return onecycle_eval(self.device_params(), step, self.cycle_momentum)
+
+    def device_params(self) -> jnp.ndarray:
+        """The schedule's constants as a (7,) f32 vector.
+
+        Pass this as a jit ARGUMENT (see make_epoch_train_fn /
+        make_train_step / make_sharded_train_step) rather than closing over
+        the schedule: closed-over scalars bake into the HLO as constants,
+        so merely changing ``epochs`` or ``init_lr`` produced a different
+        program and a full recompile (measured: the N=40 whole-epoch
+        program pays ~270-800 s through the axon tunnel on a persistent-
+        cache miss).  As an input vector, every epoch count / LR choice
+        shares one cached executable."""
         up_steps = max(float(self.pct_start) * self.total_steps - 1.0, 1.0)
         down_steps = max(self.total_steps - up_steps - 1.0, 1.0)
         initial_lr = self.max_lr / self.div_factor
         min_lr = initial_lr / self.final_div_factor
+        return jnp.array([up_steps, down_steps, initial_lr, self.max_lr,
+                          min_lr, self.base_momentum, self.max_momentum],
+                         jnp.float32)
 
-        def _anneal(start, end, pct):
-            return end + (start - end) / 2.0 * (jnp.cos(math.pi * pct) + 1.0)
 
-        pct_up = jnp.clip(step / up_steps, 0.0, 1.0)
-        pct_down = jnp.clip((step - up_steps) / down_steps, 0.0, 1.0)
-        lr = jnp.where(step <= up_steps,
-                       _anneal(initial_lr, self.max_lr, pct_up),
-                       _anneal(self.max_lr, min_lr, pct_down))
-        if self.cycle_momentum:
-            b1 = jnp.where(step <= up_steps,
-                           _anneal(self.max_momentum, self.base_momentum, pct_up),
-                           _anneal(self.base_momentum, self.max_momentum, pct_down))
-        else:
-            b1 = jnp.asarray(0.9, jnp.float32)
-        return lr, b1
+def onecycle_eval(sched: jnp.ndarray, step: jnp.ndarray,
+                  cycle_momentum: bool = True
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lr, beta1) from a ``OneCycle.device_params()`` vector at ``step``.
+    ``cycle_momentum`` is the one static flag (a per-job-type property, two
+    cache entries at most)."""
+    step = jnp.asarray(step, jnp.float32)
+    up_steps, down_steps = sched[0], sched[1]
+    initial_lr, max_lr, min_lr = sched[2], sched[3], sched[4]
+    base_momentum, max_momentum = sched[5], sched[6]
+
+    def _anneal(start, end, pct):
+        return end + (start - end) / 2.0 * (jnp.cos(math.pi * pct) + 1.0)
+
+    pct_up = jnp.clip(step / up_steps, 0.0, 1.0)
+    pct_down = jnp.clip((step - up_steps) / down_steps, 0.0, 1.0)
+    lr = jnp.where(step <= up_steps,
+                   _anneal(initial_lr, max_lr, pct_up),
+                   _anneal(max_lr, min_lr, pct_down))
+    if cycle_momentum:
+        b1 = jnp.where(step <= up_steps,
+                       _anneal(max_momentum, base_momentum, pct_up),
+                       _anneal(base_momentum, max_momentum, pct_down))
+    else:
+        b1 = jnp.asarray(0.9, jnp.float32)
+    return lr, b1
 
 
 def onecycle_for_config(cfg: GraphInventConfig, steps_per_epoch: int) -> OneCycle:

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from graphinvent_tpu.config import GraphInventConfig
 from graphinvent_tpu.models import apply_model
 from graphinvent_tpu.train.loss import apd_kl_loss, correct_action_likelihoods
-from graphinvent_tpu.train.optim import AdamState, OneCycle, adam_update
+from graphinvent_tpu.train.optim import (
+    AdamState, OneCycle, adam_update, onecycle_eval,
+)
 
 Params = Any
 Batch = Dict[str, jnp.ndarray]
@@ -38,12 +40,20 @@ def make_train_step(cfg: GraphInventConfig, schedule: OneCycle
         return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
                            batch.get("valid"))
 
+    # schedule constants as an input vector, not HLO constants: all epoch
+    # counts / LR choices share one compiled program (optim.device_params)
+    sched_v = schedule.device_params()
+    cycle_momentum = schedule.cycle_momentum
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
+    def _train_step(params, opt_state, batch, rng, sched):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        lr, beta1 = schedule(opt_state.step)
+        lr, beta1 = onecycle_eval(sched, opt_state.step, cycle_momentum)
         params, opt_state = adam_update(grads, opt_state, params, lr, beta1)
         return params, opt_state, loss
+
+    def train_step(params, opt_state, batch, rng):
+        return _train_step(params, opt_state, batch, rng, sched_v)
 
     return train_step
 
