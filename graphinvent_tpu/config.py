@@ -118,6 +118,11 @@ class GraphInventConfig:
     # ---- training ------------------------------------------------------
     batch_size: int = 1000
     block_size: int = 100000
+    # device-resident epoch budget: datasets whose int8 arrays fit under
+    # this many GiB of HBM skip the block loader entirely (train/
+    # device_data.py).  A v5e keeps ~10 GiB free beside reference-dim
+    # models; raise it for big HBM parts, lower it for big models.
+    device_data_gb: float = 6.0
     epochs: int = 100
     init_lr: float = 1e-4
     max_rel_lr: float = 1.0
