@@ -52,11 +52,16 @@ class DeviceDataset:
         return self.nodes.nbytes + self.edges.nbytes + self.apds.nbytes
 
     @staticmethod
-    def fits(ds: HDFDataset, max_bytes: int = 2 << 30) -> bool:
+    def nbytes_of(ds: HDFDataset) -> int:
+        """int8 device footprint of ``ds`` without loading it."""
         row = (int(np.prod(ds.nodes.shape[1:]))
                + int(np.prod(ds.edges.shape[1:]))
                + int(np.prod(ds.apds.shape[1:])))
-        return row * len(ds) <= max_bytes
+        return row * len(ds)
+
+    @staticmethod
+    def fits(ds: HDFDataset, max_bytes: int = 2 << 30) -> bool:
+        return DeviceDataset.nbytes_of(ds) <= max_bytes
 
 
 def epoch_permutation(n_rows: int, batch_size: int,

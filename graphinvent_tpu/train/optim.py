@@ -21,6 +21,7 @@ this state is a pytree and is checkpointed with the model.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Tuple
@@ -49,6 +50,11 @@ class OneCycle:
         return onecycle_eval(self.device_params(), step, self.cycle_momentum)
 
     def device_params(self) -> jnp.ndarray:
+        # frozen dataclass => hashable; cache so host-side per-epoch/RL-step
+        # calls don't pay a fresh host->device array each time
+        return _device_params_cached(self)
+
+    def _device_params(self) -> jnp.ndarray:
         """The schedule's constants as a (7,) f32 vector.
 
         Pass this as a jit ARGUMENT (see make_epoch_train_fn /
@@ -66,6 +72,11 @@ class OneCycle:
         return jnp.array([up_steps, down_steps, initial_lr, self.max_lr,
                           min_lr, self.base_momentum, self.max_momentum],
                          jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_params_cached(sched: "OneCycle") -> jnp.ndarray:
+    return sched._device_params()
 
 
 def onecycle_eval(sched: jnp.ndarray, step: jnp.ndarray,

@@ -190,9 +190,12 @@ class Workflow:
         # device-resident epochs compose with single-process meshes (batch
         # shards over ``data``, node/pair axes over ``graph``); multi-host
         # runs stream per-host block shards instead
+        # the budget bounds the SUM of resident datasets -- train and valid
+        # sit in HBM together, so per-dataset checks would double-book it
         budget = int(cfg.device_data_gb * (1 << 30))
-        use_device = (n_proc == 1 and DeviceDataset.fits(train_ds, budget)
-                      and DeviceDataset.fits(valid_ds, budget))
+        use_device = (n_proc == 1
+                      and DeviceDataset.nbytes_of(train_ds)
+                      + DeviceDataset.nbytes_of(valid_ds) <= budget)
         rng_np = np.random.default_rng(cfg.seed)
         if use_device:
             mesh = None

@@ -13,8 +13,11 @@ nothing here is special-cased for the campaign.
         [--n 6000] [--min-atoms 25] [--max-atoms 40] [--shards 4] \
         [--epochs 40] [--model GGNN] [--n-generate 30000] [--stage all]
 
-Stages (each is skipped automatically when its outputs already exist, so
-the campaign is resumable): data, preprocess, train, generate, test.
+Stages: data, preprocess, train, generate, test.  data/preprocess/train/
+generate skip automatically when their outputs already exist (dataset
+splits, train.h5, the final checkpoint, the last generation batch), so an
+interrupted campaign resumes; the test stage always re-runs (cheap, and
+its scores are the final artifact).
 Results land in <root>/jobs/train-<model>/ (generation.log, test .log,
 checkpoints) -- the numbers recorded in BASELINE.md "Round 3".
 """
@@ -89,9 +92,13 @@ def stage_preprocess(args) -> None:
                "--set", f"preprocess_num_shards={args.shards}",
                "--set", f"preprocess_shard_index={k}"]
         procs.append(subprocess.Popen(cmd, env=env))
+    failed = False
     for p in procs:
-        if p.wait() != 0:
-            raise RuntimeError("preprocess shard failed")
+        failed |= p.wait() != 0
+    if failed:
+        # every sibling has been waited on above -- nothing left running to
+        # race a re-run on the shard files
+        raise RuntimeError("preprocess shard failed")
     for split in ("train", "valid", "test"):
         shards = [os.path.join(data, f"{split}.h5.shard{k}")
                   for k in range(args.shards)]
@@ -132,20 +139,33 @@ def main() -> None:
     stages = ([args.stage] if args.stage != "all"
               else ["data", "preprocess", "train", "generate", "test"])
     train_dir = f"train-{args.model.lower()}"
+    final_ckpt = os.path.join(args.root, "jobs", train_dir,
+                              f"model_restart_{args.epochs}.ckpt")
     for st in stages:
         if st == "data":
             stage_data(args)
         elif st == "preprocess":
             stage_preprocess(args)
         elif st == "train":
+            if os.path.exists(final_ckpt):
+                print(f"== [train] {final_ckpt} exists, skipping", flush=True)
+                continue
             job(args, train_dir, "train",
                 "--set", f"epochs={args.epochs}",
                 "--set", "sample_every=10", "--set", "n_samples=2000")
         elif st == "generate":
+            done = os.path.join(args.root, "jobs", train_dir, "generation",
+                                f"epoch_{args.epochs}_gen"
+                                f"{args.n_generate // args.batch_size - 1}.smi")
+            if os.path.exists(done):
+                print("== [generate] last batch exists, skipping", flush=True)
+                continue
             job(args, train_dir, "generate",
                 "--set", f"generation_epoch={args.epochs}",
                 "--set", f"n_samples={args.n_generate}")
         elif st == "test":
+            # always re-run: cheap relative to train/generate, and its scores
+            # are the campaign's final artifact
             job(args, train_dir, "test",
                 "--set", f"generation_epoch={args.epochs}")
     print("== campaign complete", flush=True)

@@ -30,10 +30,11 @@ if __name__ == "__main__":
     if len(args) < 2:
         sys.exit("usage: combine_hdfs.py <out.h5> <shard.h5> [...] "
                  "[--job-dir <dir>]")
-    out = combine_shards(args[1:], args[0], cfg=cfg,
-                         is_training_set=args[0].endswith("train.h5"))
+    import os
+    is_train = os.path.basename(args[0]) == "train.h5"
+    out = combine_shards(args[1:], args[0], cfg=cfg, is_training_set=is_train)
     print(f"wrote {out}")
-    if cfg is not None and args[0].endswith("train.h5"):
+    if cfg is not None and is_train:
         # per-job shard runs skip the params CSV (preprocess.py partial_run);
         # the merge step is the single point that completes the dataset, so
         # write it here or later jobs silently lose the cross-check
