@@ -28,6 +28,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graphinvent_tpu.config import GraphInventConfig
 
@@ -69,9 +70,12 @@ class OneCycle:
         down_steps = max(self.total_steps - up_steps - 1.0, 1.0)
         initial_lr = self.max_lr / self.div_factor
         min_lr = initial_lr / self.final_div_factor
-        return jnp.array([up_steps, down_steps, initial_lr, self.max_lr,
-                          min_lr, self.base_momentum, self.max_momentum],
-                         jnp.float32)
+        # numpy, NOT jnp: this may be first called inside a jit trace (the
+        # host-side __call__ path), where a jnp.array would be a tracer --
+        # caching a leaked tracer poisons every later call
+        return np.asarray([up_steps, down_steps, initial_lr, self.max_lr,
+                           min_lr, self.base_momentum, self.max_momentum],
+                          np.float32)
 
 
 @functools.lru_cache(maxsize=None)
