@@ -284,13 +284,18 @@ def measure_sampler(cfg, n_rounds: int = 16, seed: int = 0,
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0))
 
+    # Warm up with a VALUE fetch, not block_until_ready: on the tunneled
+    # backend block_until_ready can return while the server is still
+    # loading/compiling the program, after which "timings" are dispatch
+    # latency only (measured: 0.045 "ms/round" at N=40 vs 6.1 ms real —
+    # a 264% "MFU").  Fetching a real output forces a true sync.
     out = fn(params, key)
-    jax.block_until_ready(out[0])
+    np.asarray(out[6])                       # t: (B,) int32 — small fetch
     times = []
     for r in range(max(1, n_repeats)):
         t0 = time.time()
         out = fn(params, jax.random.fold_in(key, r))
-        jax.block_until_ready(out[0])
+        np.asarray(out[6])                   # sync via small value fetch
         times.append((time.time() - t0) / n_rounds)
     return dict(
         round_time_s=float(np.median(times)),
@@ -325,7 +330,10 @@ def sampler_row(cfg, spec, n_rounds: int = 16, seed: int = 0) -> dict:
         # -- loop state stays resident
         row["sol_round_time_s"] = t_mxu
         row["sol_fraction"] = t_mxu / m["round_time_s"]
-        row["bound"] = "MXU"
+        # the loop body is matmul-light (decode/apply/record small ops);
+        # call it MXU-bound only when the MXU floor explains most of the
+        # round, otherwise the binding resource is per-op overhead
+        row["bound"] = "MXU" if row["sol_fraction"] > 0.5 else "overhead"
         row["chip"] = spec["name"]
     return row
 
