@@ -22,6 +22,7 @@
 #include <map>
 #include <set>
 #include <string>
+#include <thread>
 #include <tuple>
 #include <vector>
 
@@ -32,6 +33,9 @@ struct Atom {
   int charge = 0;
   int n_implicit_h = -1;  // -1: derive from valence model
   bool aromatic = false;
+  bool chiral = false;    // chirality != "None" (decode path only; forces
+                          // bracket form in the SMILES writer like
+                          // chem/smiles.py _atom_token's plain_ok check)
 };
 
 struct Mol {
@@ -631,6 +635,312 @@ std::vector<int> dfs_ordering(const std::vector<std::vector<int>>& nbrs,
   return visited;
 }
 
+// ---------------------------------------------------------------------------
+// graph tensors -> molecule -> validity + canonical SMILES  (decode path)
+//
+// Mirrors chem/molgraph.py graph_to_mol + MolGraph.is_valid/get_smiles and
+// chem/smiles.py perceive_aromaticity/mol_to_smiles byte-for-byte; the host
+// boundary of generation (reference: GraphGenerator.py:659-804, which calls
+// RDKit there).  Exactness enforced by tests/test_native.py decode tests.
+// ---------------------------------------------------------------------------
+
+std::vector<std::vector<int>> connected_components(const Mol& m) {
+  // mirror of molecule.connected_components: discovery from index 0 up,
+  // each component sorted
+  int n = m.n();
+  std::vector<std::vector<int>> adj(n);
+  for (auto& [a, b, t] : m.bonds) {
+    adj[a].push_back(b);
+    adj[b].push_back(a);
+  }
+  std::vector<bool> seen(n, false);
+  std::vector<std::vector<int>> comps;
+  for (int s = 0; s < n; ++s) {
+    if (seen[s]) continue;
+    std::vector<int> stack{s}, comp;
+    seen[s] = true;
+    while (!stack.empty()) {
+      int u = stack.back();
+      stack.pop_back();
+      comp.push_back(u);
+      for (int v : adj[u])
+        if (!seen[v]) { seen[v] = true; stack.push_back(v); }
+    }
+    std::sort(comp.begin(), comp.end());
+    comps.push_back(comp);
+  }
+  return comps;
+}
+
+// pi electrons one ring contributes, or -1 if a ring atom cannot participate
+// (mirror of chem/smiles.py _ring_pi_electrons)
+int ring_pi_electrons(const Mol& m, const std::vector<int>& ring,
+                      const std::set<int>& all_ring_atoms) {
+  int total = 0;
+  for (int i : ring) {
+    const Atom& atom = m.atoms[i];
+    bool dbl_in_ring = false, dbl_exo = false;
+    for (int j : m.neighbors(i)) {
+      int t = m.bond_type(i, j);
+      bool in_sys = all_ring_atoms.count(j) > 0;
+      if ((t == 1 || t == 3) && in_sys) dbl_in_ring = true;
+      if ((t == 1 || t == 2) && !in_sys) dbl_exo = true;
+    }
+    const std::string& el = atom.element;
+    int q = atom.charge;
+    if (dbl_in_ring) total += 1;
+    else if (dbl_exo) total += 0;
+    else if ((el == "N" || el == "P") && q == 0) total += 2;
+    else if ((el == "O" || el == "S" || el == "Se") && q == 0) total += 2;
+    else if ((el == "N" || el == "P") && q == 1) return -1;
+    else if (el == "C" && q == -1) total += 2;
+    else if (el == "C" && q == 1) total += 0;
+    else return -1;
+  }
+  return total;
+}
+
+void set_bond_type(Mol* m, int i, int j, int type) {
+  int idx = m->bond_index(i, j);
+  if (idx < 0) return;  // python raises KeyError; decode rings always bonded
+  std::get<2>(m->bonds[idx]) = type;
+}
+
+// mirror of chem/smiles.py perceive_aromaticity (simplified Hueckel model)
+void perceive_aromaticity(Mol* m) {
+  auto rings = find_rings(*m);
+  std::set<int> all_ring_atoms;
+  for (auto& r : rings) all_ring_atoms.insert(r.begin(), r.end());
+  std::set<int> aromatic_atoms;
+  for (auto& ring : rings) {
+    int pi = ring_pi_electrons(*m, ring, all_ring_atoms);
+    if (pi >= 0 && pi % 4 == 2) aromatic_atoms.insert(ring.begin(), ring.end());
+  }
+  for (int i : aromatic_atoms) m->atoms[i].aromatic = true;
+  for (auto& ring : rings) {
+    bool subset = true;
+    for (int i : ring)
+      if (!aromatic_atoms.count(i)) { subset = false; break; }
+    if (!subset) continue;
+    for (size_t k = 0; k < ring.size(); ++k)
+      set_bond_type(m, ring[k], ring[(k + 1) % ring.size()], 3);
+  }
+}
+
+// mirror of chem/smiles.py _atom_token.  Non-const: the plain-form check
+// probes the valence model with the declared H count cleared.
+std::string atom_token(Mol& m, int i) {
+  Atom& atom = m.atoms[i];
+  const std::string& el = atom.element;
+  std::string sym = el;
+  if (atom.aromatic)
+    for (auto& c : sym) c = (char)tolower(c);
+  int n_h = implicit_h(m, i);
+  bool plain_ok = kOrganic.count(el) > 0 && atom.charge == 0 && !atom.chiral;
+  if (plain_ok && atom.n_implicit_h < 0) return sym;
+  if (plain_ok && atom.n_implicit_h >= 0) {
+    int probe = atom.n_implicit_h;
+    atom.n_implicit_h = -1;
+    int derived = implicit_h(m, i);
+    atom.n_implicit_h = probe;
+    if (derived == probe) return sym;
+  }
+  std::string body = sym;
+  if (n_h == 1) body += "H";
+  else if (n_h > 1) body += "H" + std::to_string(n_h);
+  if (atom.charge == 1) body += "+";
+  else if (atom.charge == -1) body += "-";
+  else if (atom.charge > 1) body += "+" + std::to_string(atom.charge);
+  else if (atom.charge < -1) body += "-" + std::to_string(-atom.charge);
+  return "[" + body + "]";
+}
+
+// mirror of chem/smiles.py _write_smiles/_write_component
+std::string write_smiles(Mol& m, const std::vector<int>& ranks) {
+  int n = m.n();
+  auto comps = connected_components(m);
+  std::stable_sort(comps.begin(), comps.end(),
+                   [&](const std::vector<int>& x, const std::vector<int>& y) {
+                     auto mn = [&](const std::vector<int>& c) {
+                       int best = ranks[c[0]];
+                       for (int i : c) best = std::min(best, ranks[i]);
+                       return best;
+                     };
+                     return mn(x) < mn(y);
+                   });
+  std::vector<bool> visited(n, false);
+  int ring_counter = 0;
+  std::string out;
+  bool first = true;
+  for (auto& comp : comps) {
+    int root = comp[0];
+    for (int i : comp)
+      if (ranks[i] < ranks[root]) root = i;
+
+    // pass 1: DFS spanning tree in canonical-rank order; back edges become
+    // ring closures (detected at the deeper endpoint)
+    std::vector<int> parent(n, -2);
+    std::vector<std::vector<int>> children(n);
+    std::vector<std::pair<int, int>> back_edges;
+    std::set<std::pair<int, int>> back_set;
+    parent[root] = -1;
+    std::function<void(int)> dfs = [&](int u) {
+      visited[u] = true;
+      std::vector<int> nb = m.neighbors(u);
+      std::stable_sort(nb.begin(), nb.end(),
+                       [&](int x, int y) { return ranks[x] < ranks[y]; });
+      for (int v : nb) {
+        if (visited[v]) {
+          if (v != parent[u]) {
+            auto ekey = u < v ? std::make_pair(u, v) : std::make_pair(v, u);
+            if (!back_set.count(ekey)) {
+              back_set.insert(ekey);
+              back_edges.push_back(ekey);
+            }
+          }
+        } else {
+          parent[v] = u;
+          children[u].push_back(v);
+          dfs(v);
+        }
+      }
+    };
+    dfs(root);
+
+    std::map<int, std::vector<std::pair<int, int>>> atom_rings;
+    std::map<std::pair<int, int>, int> ring_digit;
+    for (auto& ekey : back_edges) {
+      ring_digit[ekey] = ++ring_counter;
+      atom_rings[ekey.first].push_back(ekey);
+      atom_rings[ekey.second].push_back(ekey);
+    }
+
+    std::string piece;
+    std::set<std::pair<int, int>> opened;
+    auto bond_str = [&](int t, int a, int b) -> std::string {
+      if (t == 1) return "=";
+      if (t == 2) return "#";
+      if (t == 3 && !(m.atoms[a].aromatic && m.atoms[b].aromatic)) return "-";
+      return "";
+    };
+    std::function<void(int, int)> emit = [&](int u, int from_atom) {
+      if (from_atom >= 0)
+        piece += bond_str(m.bond_type(from_atom, u), from_atom, u);
+      piece += atom_token(m, u);
+      auto it = atom_rings.find(u);
+      if (it != atom_rings.end()) {
+        for (auto& ekey : it->second) {
+          int other = ekey.first == u ? ekey.second : ekey.first;
+          int digit = ring_digit[ekey];
+          if (!opened.count(ekey)) {  // opening occurrence carries the symbol
+            opened.insert(ekey);
+            piece += bond_str(m.bond_type(u, other), u, other);
+          }
+          if (digit < 10) piece += std::to_string(digit);
+          else {  // python: f"%{digit:02d}"
+            std::string d = std::to_string(digit);
+            piece += "%" + (d.size() < 2 ? "0" + d : d);
+          }
+        }
+      }
+      auto& kids = children[u];
+      for (size_t idx = 0; idx < kids.size(); ++idx) {
+        if (idx + 1 < kids.size()) {
+          piece += "(";
+          emit(kids[idx], u);
+          piece += ")";
+        } else {
+          emit(kids[idx], u);
+        }
+      }
+    };
+    emit(root, -1);
+    if (!first) out += ".";
+    out += piece;
+    first = false;
+  }
+  return out;
+}
+
+// mirror of chem/smiles.py mol_to_smiles (canonical=True, aromatic=True).
+// Returns false for the python path's ``None`` (empty molecule).
+bool mol_to_smiles(const Mol& mol, std::string* out) {
+  if (mol.n() == 0) return false;
+  Mol work = mol;  // python copies before perceiving aromaticity
+  bool any_arom = false;
+  for (auto& a : work.atoms) any_arom |= a.aromatic;
+  if (!any_arom) perceive_aromaticity(&work);
+  auto ranks = canonical_ranks(work);
+  *out = write_smiles(work, ranks);
+  return true;
+}
+
+// mirror of chem/molgraph.py graph_to_mol.  Returns false when python would
+// return None or raise (caught by MolGraph.molecule -> molecule is None).
+bool tensors_to_mol(const int8_t* nodes, const int8_t* edges, int n_nodes,
+                    int M, int n_edge_types,
+                    const std::vector<std::string>& atom_types,
+                    const int* charges, int n_charges, const int* imp_hs,
+                    int n_imp_h, int n_chirality, int chirality_none_idx,
+                    Mol* mol) {
+  if (n_nodes <= 0) return false;
+  int n_at = (int)atom_types.size();
+  int n_feat = n_at + n_charges + n_imp_h + n_chirality;
+  // python list indexing wraps one negative step (lst[-k]); mirror exactly
+  auto wrap = [](int idx, int len) -> int {
+    if (idx < -len || idx >= len) return -1;  // IndexError -> mol is None
+    return idx < 0 ? idx + len : idx;
+  };
+  for (int v = 0; v < n_nodes; ++v) {
+    const int8_t* fv = nodes + (size_t)v * n_feat;
+    std::vector<int> nz;
+    for (int c = 0; c < n_feat; ++c)
+      if (fv[c]) nz.push_back(c);
+    if ((int)nz.size() < 2) return false;
+    Atom atom;
+    if (nz[0] >= n_at) return false;  // IndexError (non-negative index)
+    atom.element = atom_types[nz[0]];
+    int ci = wrap(nz[1] - n_at, n_charges);
+    if (ci < 0) return false;
+    atom.charge = charges[ci];
+    int offset = n_at + n_charges, seg = 2;
+    if (n_imp_h > 0) {
+      if ((int)nz.size() <= seg) return false;  // IndexError on nz[seg]
+      int hi = wrap(nz[seg] - offset, n_imp_h);
+      if (hi < 0) return false;
+      atom.n_implicit_h = imp_hs[hi];
+      offset += n_imp_h;
+      ++seg;
+    }
+    if (n_chirality > 0) {
+      if ((int)nz.size() <= seg) return false;
+      int ki = wrap(nz[seg] - offset, n_chirality);
+      if (ki < 0) return false;
+      atom.chiral = ki != chirality_none_idx;
+    }
+    mol->atoms.push_back(atom);
+  }
+  // bonds: numpy nonzero C-order over [n, n, E]; added once when a < b
+  // (duplicate bond -> ValueError -> mol is None)
+  std::vector<int8_t> bonded((size_t)n_nodes * n_nodes, 0);
+  for (int a = 0; a < n_nodes; ++a) {
+    for (int b = 0; b < n_nodes; ++b) {
+      const int8_t* row = edges + ((size_t)a * M + b) * n_edge_types;
+      for (int t = 0; t < n_edge_types; ++t) {
+        if (!row[t] || a >= b) continue;
+        if (bonded[(size_t)a * n_nodes + b]) return false;  // duplicate
+        bonded[(size_t)a * n_nodes + b] = 1;
+        mol->bonds.push_back({a, b, t});
+        if (t == 3) {  // aromatic bond (use_aromatic_bonds mode)
+          mol->atoms[a].aromatic = true;
+          mol->atoms[b].aromatic = true;
+        }
+      }
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -834,6 +1144,79 @@ int mk_route(const char* smiles,
   return route_len;
 }
 
-int mk_version() { return 1; }
+// Batch graph -> (validity, canonical SMILES) for generated graphs: the
+// host boundary of the generate/fine-tune jobs (reference:
+// GraphGenerator.py:659-804 hands graphs to RDKit here; we hand them to the
+// same valence model + WL canonicalizer the preprocessing kernel uses).
+//
+//   nodes_in:  [B, M, n_feat] int8 one-hot rows
+//   edges_in:  [B, M, M, n_edge_types] int8
+//   n_nodes:   [B] int32
+//   validity_out: [B] int8 (MolGraph.is_valid mirror)
+//   smiles_out:   [B * smi_cap] char, NUL-terminated rows; empty row ==
+//                 python None (unbuildable molecule / overlong string)
+//
+// n_chirality == 0 means chirality features absent (use_chirality=False).
+// Returns B, or -2 on bad args.  Rows are independent: processed in
+// n_threads slices (n_threads <= 0 -> hardware concurrency).
+int mk_decode_batch(const int8_t* nodes_in, const int8_t* edges_in,
+                    const int* n_nodes, int B, int M,
+                    const char* atom_types_joined, const int* charges,
+                    int n_charges, const int* imp_hs, int n_imp_h,
+                    int n_chirality, int chirality_none_idx, int n_edge_types,
+                    int n_threads, int8_t* validity_out, char* smiles_out,
+                    int smi_cap) {
+  if (!nodes_in || !edges_in || !n_nodes || !validity_out || !smiles_out ||
+      B <= 0 || M <= 0 || smi_cap <= 1)
+    return -2;
+  std::vector<std::string> atom_types;
+  {
+    std::string s(atom_types_joined), cur;
+    for (char c : s) {
+      if (c == ';') { atom_types.push_back(cur); cur.clear(); }
+      else cur.push_back(c);
+    }
+    if (!cur.empty()) atom_types.push_back(cur);
+  }
+  int n_at = (int)atom_types.size();
+  int n_feat = n_at + n_charges + n_imp_h + n_chirality;
+
+  auto decode_row = [&](int i) {
+    const int8_t* nodes = nodes_in + (size_t)i * M * n_feat;
+    const int8_t* edges = edges_in + (size_t)i * M * M * n_edge_types;
+    char* smi = smiles_out + (size_t)i * smi_cap;
+    smi[0] = '\0';
+    validity_out[i] = 0;
+    Mol mol;
+    if (!tensors_to_mol(nodes, edges, n_nodes[i], M, n_edge_types, atom_types,
+                        charges, n_charges, imp_hs, n_imp_h, n_chirality,
+                        chirality_none_idx, &mol))
+      return;  // molecule is None: invalid, SMILES None
+    validity_out[i] = sanitize_ok(mol) ? 1 : 0;
+    std::string s;
+    if (mol_to_smiles(mol, &s) && (int)s.size() < smi_cap)
+      std::memcpy(smi, s.c_str(), s.size() + 1);
+  };
+
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, B);
+  if (n_threads <= 1) {
+    for (int i = 0; i < B; ++i) decode_row(i);
+  } else {
+    std::vector<std::thread> pool;
+    for (int w = 0; w < n_threads; ++w) {
+      pool.emplace_back([&, w]() {
+        for (int i = w; i < B; i += n_threads) decode_row(i);
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  return B;
+}
+
+int mk_version() { return 2; }
 
 }  // extern "C"

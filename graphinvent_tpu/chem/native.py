@@ -39,7 +39,7 @@ def ensure_built() -> Optional[str]:
         return None
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
              "-o", _LIB_PATH, src],
             check=True, capture_output=True, timeout=300)
         return _LIB_PATH
@@ -66,6 +66,15 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
+        ]
+        lib.mk_decode_batch.restype = ctypes.c_int
+        lib.mk_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_char_p, ctypes.c_int,
         ]
         _LIB = lib
     except Exception:
@@ -116,3 +125,59 @@ def native_route(smiles: str, cfg: GraphInventConfig, cap: int = 512
     if n <= 0:
         return [] if n == 0 else None
     return [(nodes[r], edges[r], apds[r]) for r in range(n)]
+
+
+def native_decode_batch(nodes: np.ndarray, edges: np.ndarray,
+                        n_nodes: np.ndarray, cfg: GraphInventConfig,
+                        n_threads: int = 0
+                        ) -> Optional[Tuple[np.ndarray, List[Optional[str]]]]:
+    """Batch graph tensors -> (validity [B] int8, canonical SMILES list).
+
+    The generation-side inverse of :func:`native_route` (reference host
+    boundary: GraphGenerator.py:659-804): semantics identical to calling
+    ``MolGraph.is_valid()`` / ``MolGraph.get_smiles()`` per row, byte for
+    byte (tests/test_native.py).  ``None`` in the SMILES list marks an
+    unbuildable molecule, exactly like the Python path.  Returns None when
+    the native library is unavailable (caller falls back to Python).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    B = len(n_nodes)
+    M, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+    nodes = np.ascontiguousarray(nodes, dtype=np.int8)
+    edges = np.ascontiguousarray(edges, dtype=np.int8)
+    if nodes.shape != (B, M, Fn) or edges.shape != (B, M, M, E):
+        return None
+    n_nodes_c = np.ascontiguousarray(n_nodes, dtype=np.int32)
+    charges = (ctypes.c_int * cfg.n_formal_charge)(*cfg.formal_charge)
+    if cfg.n_imp_H:
+        imp = (ctypes.c_int * cfg.n_imp_H)(*cfg.imp_H)
+        n_imp = cfg.n_imp_H
+    else:
+        imp = (ctypes.c_int * 1)(0)
+        n_imp = 0
+    n_chir = cfg.n_chirality if cfg.use_chirality else 0
+    chir_none = (cfg.chirality.index("None")
+                 if n_chir and "None" in cfg.chirality else -1)
+    smi_cap = 16 * M + 64
+    smiles_buf = ctypes.create_string_buffer(B * smi_cap)
+    validity = np.zeros(B, dtype=np.int8)
+    r = lib.mk_decode_batch(
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        n_nodes_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        B, M, ";".join(cfg.atom_types).encode(),
+        charges, cfg.n_formal_charge, imp, n_imp,
+        n_chir, chir_none, E, n_threads,
+        validity.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        smiles_buf, smi_cap)
+    if r != B:
+        return None
+    raw = smiles_buf.raw
+    smiles: List[Optional[str]] = []
+    for i in range(B):
+        row = raw[i * smi_cap:(i + 1) * smi_cap]
+        s = row.split(b"\0", 1)[0]
+        smiles.append(s.decode() if s else None)
+    return validity, smiles

@@ -76,12 +76,27 @@ class Analyzer:
         marks the first occurrence of each canonical SMILES with 1
         (reference: util.write_molecules semantics used by the RL loss)."""
         B = len(graphs)
-        smiles: List[Optional[str]] = []
-        validity = np.zeros(B, dtype=np.int8)
-        for i, g in enumerate(graphs):
-            ok = g.is_valid()
-            validity[i] = int(ok)
-            smiles.append(g.get_smiles() if ok else None)
+        nodes = np.stack([np.asarray(g.node_features, np.float32) for g in graphs])
+        edges = np.stack([np.asarray(g.edge_features, np.float32) for g in graphs])
+        n_nodes = np.asarray([g.n_nodes for g in graphs])
+
+        # validity + canonical SMILES: one native C++ batch call when the
+        # kernel is available (byte-identical to the per-graph Python path;
+        # the host chemistry here was ~97% of generate-job wall clock)
+        from graphinvent_tpu.chem.native import native_decode_batch
+        nat = native_decode_batch(nodes.astype(np.int8), edges.astype(np.int8),
+                                  n_nodes, self.cfg)
+        if nat is not None:
+            validity, smiles = nat
+            smiles = [s if validity[i] else None
+                      for i, s in enumerate(smiles)]
+        else:
+            smiles = []
+            validity = np.zeros(B, dtype=np.int8)
+            for i, g in enumerate(graphs):
+                ok = g.is_valid()
+                validity[i] = int(ok)
+                smiles.append(g.get_smiles() if ok else None)
         seen = set()
         uniqueness = np.zeros(B, dtype=np.int8)
         for i, s in enumerate(smiles):
@@ -92,9 +107,6 @@ class Analyzer:
                 seen.add(s)
                 uniqueness[i] = 1
 
-        nodes = np.stack([np.asarray(g.node_features, np.float32) for g in graphs])
-        edges = np.stack([np.asarray(g.edge_features, np.float32) for g in graphs])
-        n_nodes = np.asarray([g.n_nodes for g in graphs])
         prop_dict = graph_set_properties(self.cfg, nodes, edges, n_nodes,
                                          epoch_key=epoch_key, smiles=smiles,
                                          validity=validity)

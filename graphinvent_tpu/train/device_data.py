@@ -34,8 +34,9 @@ Params = Any
 
 class DeviceDataset:
     """Whole HDF dataset as int8 device arrays.  With a ``mesh`` the arrays
-    are replicated across it (the fits() bound is per-device HBM), so every
-    device gathers its batch rows locally and only the computation shards."""
+    are replicated across it (workflow.py budgets nbytes_of() against
+    cfg.device_data_gb per device), so every device gathers its batch rows
+    locally and only the computation shards."""
 
     def __init__(self, ds: HDFDataset, device=None, mesh=None) -> None:
         self.n_rows = len(ds)
@@ -58,10 +59,6 @@ class DeviceDataset:
                + int(np.prod(ds.edges.shape[1:]))
                + int(np.prod(ds.apds.shape[1:])))
         return row * len(ds)
-
-    @staticmethod
-    def fits(ds: HDFDataset, max_bytes: int = 2 << 30) -> bool:
-        return DeviceDataset.nbytes_of(ds) <= max_bytes
 
 
 def epoch_permutation(n_rows: int, batch_size: int,

@@ -50,12 +50,15 @@ class OneCycle:
         """step (0-based, float or int) -> (lr, beta1)."""
         return onecycle_eval(self.device_params(), step, self.cycle_momentum)
 
-    def device_params(self) -> jnp.ndarray:
+    def device_params(self) -> np.ndarray:
         # frozen dataclass => hashable; cache so host-side per-epoch/RL-step
-        # calls don't pay a fresh host->device array each time
+        # calls don't rebuild the vector each time.  NOTE: this is a cached
+        # HOST (numpy) vector -- each jit call still pays one tiny (7,)
+        # host->device transfer, negligible next to the batch itself (and a
+        # device_put here would leak as a tracer if first called in-trace).
         return _device_params_cached(self)
 
-    def _device_params(self) -> jnp.ndarray:
+    def _device_params(self) -> np.ndarray:
         """The schedule's constants as a (7,) f32 vector.
 
         Pass this as a jit ARGUMENT (see make_epoch_train_fn /
@@ -79,7 +82,7 @@ class OneCycle:
 
 
 @functools.lru_cache(maxsize=None)
-def _device_params_cached(sched: "OneCycle") -> jnp.ndarray:
+def _device_params_cached(sched: "OneCycle") -> np.ndarray:
     return sched._device_params()
 
 

