@@ -500,22 +500,26 @@ class Workflow:
         params, epoch = self._load_model_for_inference(cfg.generation_epoch)
         batch = min(cfg.batch_size, cfg.n_samples)
         sampler = self._get_sampler(batch)
-        n_done, batch_idx = 0, 0
+        n_batches = (cfg.n_samples + batch - 1) // batch
         pending = None
         with ThreadPoolExecutor(max_workers=1) as pool:
-            while n_done < cfg.n_samples:
+            for k in range(n_batches):
+                # NOTE: dispatching batch k+1 before fetching batch k
+                # (sample_async) was measured SLOWER on the tunneled
+                # backend -- the server serializes the fetch behind the
+                # queued next program, so the transfer cannot overlap
+                # execution anyway and queueing adds latency (docs/9).
+                # The worker thread still hides all host chemistry.
                 res = sampler.sample(params,
-                                     jax.random.fold_in(self.key, batch_idx))
+                                     jax.random.fold_in(self.key, k))
                 if pending is not None:
                     pending.result()
                 pending = pool.submit(
                     analyzer.evaluate_generated_graphs,
                     res.graphs, res.properly_terminated,
                     res.final_loglikelihoods,
-                    epoch_key=f"Epoch {epoch} gen{batch_idx}",
-                    write=True, plot=(batch_idx == 0))
-                n_done += len(res.graphs)
-                batch_idx += 1
+                    epoch_key=f"Epoch {epoch} gen{k}",
+                    write=True, plot=(k == 0))
             if pending is not None:
                 pending.result()
 

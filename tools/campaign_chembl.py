@@ -109,6 +109,8 @@ def stage_preprocess(args) -> None:
 
 
 def job(args, name: str, job_type: str, *extra) -> None:
+    if args.in_process:
+        return job_in_process(args, name, job_type, *extra)
     run([sys.executable, f"{REPO}/tools/submit.py",
          "--job-dir", os.path.join(args.root, "jobs", name),
          "--job-type", job_type,
@@ -116,6 +118,39 @@ def job(args, name: str, job_type: str, *extra) -> None:
          "--model", args.model, *dataset_overrides(args),
          "--set", f"batch_size={args.batch_size}",
          "--set", "compute_dtype=bfloat16", *extra], TPU_ENV, job_type)
+
+
+def job_in_process(args, name: str, job_type: str, *extra) -> None:
+    """Run a device stage inside the campaign process itself.
+
+    Per-process server-side program warm-up is 1-9 min on the tunneled TPU
+    (docs/9 "Compile / cold-start"); launching train/generate/test as three
+    processes re-pays it each time.  In-process, later stages reuse the
+    process's jit/program caches (round-3 verdict weak #7).  Requires the
+    campaign to be launched with the TPU PYTHONPATH when a tunnel is used
+    (same env TPU_ENV would give the subprocess).
+    """
+    from graphinvent_tpu.config import GraphInventConfig
+    from graphinvent_tpu.workflow import Workflow
+
+    overrides = {"job_type": job_type,
+                 "dataset_dir": os.path.join(args.root, "data") + "/",
+                 "job_dir": os.path.join(args.root, "jobs", name) + "/",
+                 "model": args.model,
+                 "batch_size": args.batch_size,
+                 "compute_dtype": "bfloat16"}
+    kv = dataset_overrides(args) + list(extra)
+    for i in range(0, len(kv), 2):
+        assert kv[i] == "--set"
+        key, _, value = kv[i + 1].partition("=")
+        overrides[key] = GraphInventConfig._parse_value(value)
+    cfg = GraphInventConfig.from_overrides(overrides)
+    os.makedirs(cfg.job_dir, exist_ok=True)
+    cfg.write_csv(os.path.join(cfg.job_dir, "input.csv"))
+    t0 = time.time()
+    print(f"== [{job_type}] in-process -> {cfg.job_dir}", flush=True)
+    Workflow(cfg).run()
+    print(f"== [{job_type}] done in {time.time()-t0:.1f} s", flush=True)
 
 
 def main() -> None:
@@ -133,6 +168,10 @@ def main() -> None:
     ap.add_argument("--stage", default="all",
                     choices=["all", "data", "preprocess", "train",
                              "generate", "test"])
+    ap.add_argument("--in-process", action="store_true",
+                    help="run train/generate/test inside this process "
+                         "(pays the per-process TPU program warm-up once; "
+                         "launch with the TPU PYTHONPATH)")
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
 
