@@ -941,6 +941,298 @@ bool tensors_to_mol(const int8_t* nodes, const int8_t* edges, int n_nodes,
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// molecular descriptors + QED (mirror of chem/descriptors.py; used by the
+// RL scoring hot path -- reference ScoringFunction.py:131-143 calls RDKit's
+// QED here).  Same ADS parameters (Bickerton et al. 2012), same simplified
+// descriptor definitions; byte-level parity enforced by tests/test_native.py.
+// ---------------------------------------------------------------------------
+
+const std::map<std::string, double> kAtomicMass = {
+    {"H", 1.008},  {"B", 10.81},  {"C", 12.011}, {"N", 14.007},
+    {"O", 15.999}, {"F", 18.998}, {"Si", 28.085}, {"P", 30.974},
+    {"S", 32.06},  {"Cl", 35.45}, {"Br", 79.904}, {"I", 126.904},
+    {"Se", 78.971}};
+
+double mol_weight_of(const Mol& m) {
+  double total = 0.0;
+  for (int i = 0; i < m.n(); ++i) {
+    auto it = kAtomicMass.find(m.atoms[i].element);
+    total += it == kAtomicMass.end() ? 0.0 : it->second;
+    total += 1.008 * implicit_h(m, i);
+  }
+  return total;
+}
+
+bool is_amide_n(const Mol& m, int i) {
+  if (m.atoms[i].element != "N") return false;
+  for (int j : m.neighbors(i)) {
+    if (m.atoms[j].element != "C") continue;
+    for (int k : m.neighbors(j))
+      if (k != i && m.atoms[k].element == "O" && m.bond_type(j, k) == 1)
+        return true;
+  }
+  return false;
+}
+
+int hba_of(const Mol& m) {
+  int count = 0;
+  for (int i = 0; i < m.n(); ++i) {
+    const Atom& atom = m.atoms[i];
+    if (atom.element == "O") {
+      ++count;
+    } else if (atom.element == "N") {
+      if (atom.aromatic && implicit_h(m, i) > 0) continue;  // pyrrole NH
+      if (is_amide_n(m, i)) continue;
+      ++count;
+    }
+  }
+  return count;
+}
+
+int hbd_of(const Mol& m) {
+  int total = 0;
+  for (int i = 0; i < m.n(); ++i)
+    if (m.atoms[i].element == "N" || m.atoms[i].element == "O")
+      total += implicit_h(m, i);
+  return total;
+}
+
+int rotatable_bonds_of(const Mol& m) {
+  std::set<std::pair<int, int>> ring_bonds;
+  for (auto& ring : find_rings(m))
+    for (size_t k = 0; k < ring.size(); ++k) {
+      int a = ring[k], b = ring[(k + 1) % ring.size()];
+      ring_bonds.insert({std::min(a, b), std::max(a, b)});
+    }
+  auto amide = [&](int c, int n) {
+    if (m.atoms[c].element != "C" || m.atoms[n].element != "N") return false;
+    for (int k : m.neighbors(c))
+      if (m.atoms[k].element == "O" && m.bond_type(c, k) == 1) return true;
+    return false;
+  };
+  int count = 0;
+  for (auto& [a0, b0, t] : m.bonds) {
+    int a = std::min(a0, b0), b = std::max(a0, b0);
+    if (t != 0 || ring_bonds.count({a, b})) continue;
+    if (m.degree(a) < 2 || m.degree(b) < 2) continue;
+    if (amide(a, b) || amide(b, a)) continue;
+    ++count;
+  }
+  return count;
+}
+
+int aromatic_rings_of(const Mol& arom) {  // expects aromatic-perceived mol
+  int n = 0;
+  for (auto& ring : find_rings(arom)) {
+    bool all_arom = true;
+    for (int i : ring)
+      if (!arom.atoms[i].aromatic) { all_arom = false; break; }
+    if (all_arom) ++n;
+  }
+  return n;
+}
+
+double tpsa_of(const Mol& m) {  // expects aromatic-perceived mol
+  double total = 0.0;
+  for (int i = 0; i < m.n(); ++i) {
+    const Atom& atom = m.atoms[i];
+    const std::string& el = atom.element;
+    int q = atom.charge;
+    if (el != "N" && el != "O" && el != "S" && el != "P") continue;
+    int n_h = implicit_h(m, i);
+    int deg = m.degree(i);
+    bool arom = atom.aromatic;
+    int n_single = 0, n_double = 0, n_triple = 0;
+    for (int j : m.neighbors(i)) {
+      int t = m.bond_type(i, j);
+      if (t == 0 || t == 3) ++n_single;
+      else if (t == 1) ++n_double;
+      else if (t == 2) ++n_triple;
+    }
+    if (el == "N" && q == 0) {
+      if (arom) {
+        if (n_h == 0 && deg == 2) total += 12.89;
+        else if (n_h == 1) total += 15.79;
+        else if (deg == 3) total += 4.93;
+        else total += 12.89;
+      } else if (n_triple == 1 && deg == 1) total += 23.79;
+      else if (n_double == 1 && deg == 2 && n_h == 0) total += 12.36;
+      else if (n_double == 1 && n_h == 0) total += 11.68;
+      else if (n_h == 0 && deg == 3) total += 3.24;
+      else if (n_h == 1 && deg == 2) total += 12.03;
+      else if (n_h == 2 && deg == 1) total += 26.02;
+      else if (n_h == 1 && n_double == 1) total += 23.85;
+      else total += 12.03;
+    } else if (el == "N" && q == 1) {
+      if (n_h == 0) total += deg == 4 ? 0.0 : 3.01;
+      else if (n_h == 1) total += 4.44;
+      else if (n_h == 2) total += 16.61;
+      else if (n_h == 3) total += 27.64;
+    } else if (el == "O" && q == 0) {
+      if (arom) total += 13.14;
+      else if (n_double == 1 && deg == 1) total += 17.07;
+      else if (n_h == 1) total += 20.23;
+      else if (deg == 2) total += 9.23;
+      else total += 9.23;
+    } else if (el == "O" && q == -1) {
+      total += 23.06;
+    } else if (el == "S" && q == 0) {
+      if (arom) total += deg == 2 ? 28.24 : 21.70;
+      else if (n_double == 1 && deg == 1) total += 32.09;
+      else if (n_h == 1) total += 38.80;
+      else total += deg == 2 ? 25.30 : 19.21;
+    }
+  }
+  return total;
+}
+
+double alogp_of(const Mol& m) {  // expects aromatic-perceived mol
+  double total = 0.0;
+  for (int i = 0; i < m.n(); ++i) {
+    const Atom& atom = m.atoms[i];
+    const std::string& el = atom.element;
+    int n_h = implicit_h(m, i);
+    bool hetero_nbr = false;
+    for (int j : m.neighbors(i))
+      if (m.atoms[j].element != "C" && m.atoms[j].element != "H")
+        hetero_nbr = true;
+    if (el == "C") {
+      if (atom.aromatic) total += hetero_nbr ? 0.137 : 0.294;
+      else total += hetero_nbr ? -0.027 : 0.142;
+      total += 0.123 * n_h;
+    } else if (el == "N") {
+      total += atom.aromatic ? -0.49 : -0.60;
+      total += -0.25 * n_h;
+    } else if (el == "O") {
+      total += atom.aromatic ? -0.04 : -0.45;
+      total += -0.32 * n_h;
+    } else if (el == "S") total += 0.65;
+    else if (el == "F") total += 0.43;
+    else if (el == "Cl") total += 0.76;
+    else if (el == "Br") total += 0.89;
+    else if (el == "I") total += 1.05;
+    else if (el == "P") total += 0.27;
+  }
+  return total;
+}
+
+int longest_chain_from(const Mol& m, int start, const std::set<int>& ring_atoms,
+                       int depth = 0) {
+  if (depth > 12) return 0;
+  int best = 1;
+  for (int j : m.neighbors(start)) {
+    if (!ring_atoms.count(j) && m.atoms[j].element == "C" && j > start)
+      best = std::max(best,
+                      1 + longest_chain_from(m, j, ring_atoms, depth + 1));
+  }
+  return best;
+}
+
+int structural_alerts_of(const Mol& m) {
+  int alerts = 0;
+  for (int i = 0; i < m.n(); ++i) {
+    const Atom& atom = m.atoms[i];
+    const std::string& el = atom.element;
+    auto nbrs = m.neighbors(i);
+    if (el == "N") {
+      int n_o = 0;
+      bool dbl_o = false;
+      for (int j : nbrs)
+        if (m.atoms[j].element == "O") {
+          ++n_o;
+          if (m.bond_type(i, j) == 1) dbl_o = true;
+        }
+      if (n_o >= 2 && dbl_o) ++alerts;  // nitro
+    }
+    if (el == "C" && implicit_h(m, i) >= 1) {
+      for (int j : nbrs)
+        if (m.atoms[j].element == "O" && m.bond_type(i, j) == 1) {
+          ++alerts;  // aldehyde
+          break;
+        }
+    }
+    if (el == "S" && implicit_h(m, i) >= 1) ++alerts;  // thiol
+    if (el == "C") {
+      bool has_dbl_o = false, has_hal = false;
+      for (int j : nbrs) {
+        const std::string& e2 = m.atoms[j].element;
+        if (e2 == "O" && m.bond_type(i, j) == 1) has_dbl_o = true;
+        if (e2 == "F" || e2 == "Cl" || e2 == "Br" || e2 == "I") has_hal = true;
+      }
+      if (has_dbl_o && has_hal) ++alerts;  // acyl halide
+    }
+    if (el == "N") {
+      for (int j : nbrs) {
+        int t = m.bond_type(i, j);
+        if (m.atoms[j].element == "N" && (t == 1 || t == 2)) {
+          ++alerts;  // azide / diazo
+          break;
+        }
+      }
+    }
+  }
+  std::set<int> ring_atoms;
+  for (auto& ring : find_rings(m)) ring_atoms.insert(ring.begin(), ring.end());
+  int chain = 0;
+  for (int i = 0; i < m.n(); ++i)
+    if (m.atoms[i].element == "C" && !ring_atoms.count(i))
+      chain = std::max(chain, longest_chain_from(m, i, ring_atoms));
+  if (chain >= 7) ++alerts;
+  return alerts;
+}
+
+// QED ADS parameters: a, b, c, d, e, f, dmax (Bickerton et al. 2012)
+const double kADS[8][7] = {
+    {2.817065973, 392.5754953, 290.7489764, 2.419764353, 49.22325677,
+     65.37051707, 104.9805561},                             // MW
+    {3.172690585, 137.8624751, 2.534937431, 4.581497897, 0.822739154,
+     0.576295591, 131.3186604},                             // ALOGP
+    {2.948620388, 160.4605972, 3.615294657, 4.435986202, 0.290141953,
+     1.300669958, 148.7763046},                             // HBA
+    {1.618662227, 1010.051101, 0.985094388, 0.000000001, 0.713820843,
+     0.920922555, 258.1632616},                             // HBD
+    {1.876861559, 125.2232657, 62.90773554, 87.83366614, 12.01999824,
+     28.51324732, 104.5686167},                             // PSA
+    {0.010000000, 272.4121427, 2.558379970, 1.565547684, 1.271567166,
+     2.758063707, 105.4420403},                             // ROTB
+    {3.217788970, 957.7374108, 2.274627939, 0.000000001, 1.317690384,
+     0.375760881, 312.3372610},                             // AROM
+    {0.010000000, 1199.094025, -0.09002593, 0.000000001, 0.185904477,
+     0.875193782, 417.7253140}};                            // ALERTS
+const double kQEDWeights[8] = {0.66, 0.46, 0.05, 0.61, 0.06, 0.65, 0.48, 0.95};
+
+double ads_eval(double x, const double* p) {
+  double a = p[0], b = p[1], c = p[2], d = p[3], e = p[4], f = p[5],
+         dmax = p[6];
+  double val = a + b / (1 + std::exp(-(x - c + d / 2) / e)) *
+                       (1 - 1 / (1 + std::exp(-(x - c - d / 2) / f)));
+  return val / dmax;
+}
+
+double qed_of(const Mol& m) {
+  if (m.n() == 0) return 0.0;
+  // tpsa/alogp/aromatic_rings act on an aromatic-perceived copy; the rest
+  // on the raw molecule (mirror of descriptors.py _ensure_aromatic usage)
+  Mol arom = m;
+  bool any_arom = false;
+  for (auto& a : arom.atoms) any_arom |= a.aromatic;
+  if (!any_arom) perceive_aromaticity(&arom);
+  double props[8] = {
+      mol_weight_of(m),          alogp_of(arom),
+      (double)hba_of(m),         (double)hbd_of(m),
+      tpsa_of(arom),             (double)rotatable_bonds_of(m),
+      (double)aromatic_rings_of(arom),
+      (double)structural_alerts_of(m)};
+  double t = 0.0, wsum = 0.0;
+  for (int k = 0; k < 8; ++k) {
+    double d = std::max(ads_eval(props[k], kADS[k]), 1e-10);
+    t += kQEDWeights[k] * std::log(d);
+    wsum += kQEDWeights[k];
+  }
+  return std::exp(t / wsum);
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1217,6 +1509,57 @@ int mk_decode_batch(const int8_t* nodes_in, const int8_t* edges_in,
   return B;
 }
 
-int mk_version() { return 2; }
+// Batch graph -> QED drug-likeness score (mirror of chem/descriptors.qed;
+// RL scoring hot path, reference ScoringFunction.py:131-143).  Unbuildable
+// molecules score 0.0 exactly like the python qed(None)/except path.
+int mk_qed_batch(const int8_t* nodes_in, const int8_t* edges_in,
+                 const int* n_nodes, int B, int M,
+                 const char* atom_types_joined, const int* charges,
+                 int n_charges, const int* imp_hs, int n_imp_h,
+                 int n_chirality, int chirality_none_idx, int n_edge_types,
+                 int n_threads, double* qed_out) {
+  if (!nodes_in || !edges_in || !n_nodes || !qed_out || B <= 0 || M <= 0)
+    return -2;
+  std::vector<std::string> atom_types;
+  {
+    std::string s(atom_types_joined), cur;
+    for (char c : s) {
+      if (c == ';') { atom_types.push_back(cur); cur.clear(); }
+      else cur.push_back(c);
+    }
+    if (!cur.empty()) atom_types.push_back(cur);
+  }
+  auto qed_row = [&](int i) {
+    qed_out[i] = 0.0;
+    Mol mol;
+    if (!tensors_to_mol(nodes_in + (size_t)i * M *
+                            ((int)atom_types.size() + n_charges + n_imp_h +
+                             n_chirality),
+                        edges_in + (size_t)i * M * M * n_edge_types,
+                        n_nodes[i], M, n_edge_types, atom_types, charges,
+                        n_charges, imp_hs, n_imp_h, n_chirality,
+                        chirality_none_idx, &mol))
+      return;
+    qed_out[i] = qed_of(mol);
+  };
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, B);
+  if (n_threads <= 1) {
+    for (int i = 0; i < B; ++i) qed_row(i);
+  } else {
+    std::vector<std::thread> pool;
+    for (int w = 0; w < n_threads; ++w)
+      pool.emplace_back([&, w]() {
+        for (int i = w; i < B; i += n_threads) qed_row(i);
+      });
+    for (auto& th : pool) th.join();
+  }
+  return B;
+}
+
+int mk_version() { return 3; }
 
 }  // extern "C"

@@ -26,7 +26,16 @@ def _hash_tuple(t: Tuple) -> int:
 
 def morgan_fingerprint(mol: Molecule, radius: int = 2,
                        n_bits: int = 2048) -> np.ndarray:
-    """Returns a float {0,1} vector of length ``n_bits``."""
+    """Returns a float {0,1} vector of length ``n_bits``.
+
+    The molecule is normalized to its aromatic-perceived form first, so a
+    kekulized parse and an aromatic-mode generated graph of the SAME
+    molecule hash identically.  Without this, a QSAR model trained on
+    kekulized SMILES scored aromatic-mode generated molecules near 0
+    (representation mismatch, found in the round-4 activity run: actives
+    0.998 / generated 0.015 where direct SMILES scoring gave 0.475)."""
+    from graphinvent_tpu.chem.descriptors import _ensure_aromatic
+    mol = _ensure_aromatic(mol)
     n = mol.n_atoms
     in_ring = [False] * n
     for ring in mol.rings():

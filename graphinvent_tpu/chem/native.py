@@ -76,6 +76,15 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int8), ctypes.c_char_p, ctypes.c_int,
         ]
+        lib.mk_qed_batch.restype = ctypes.c_int
+        lib.mk_qed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -181,3 +190,45 @@ def native_decode_batch(nodes: np.ndarray, edges: np.ndarray,
         s = row.split(b"\0", 1)[0]
         smiles.append(s.decode() if s else None)
     return validity, smiles
+
+
+def native_qed_batch(nodes: np.ndarray, edges: np.ndarray,
+                     n_nodes: np.ndarray, cfg: GraphInventConfig,
+                     n_threads: int = 0) -> Optional[np.ndarray]:
+    """Batch graph tensors -> QED scores (float64 [B]), identical to
+    ``descriptors.qed(graph_to_mol(...))`` per row (unbuildable molecules
+    score 0.0).  The RL scoring hot path (reference ScoringFunction.py:
+    131-143); measured 1.8 s/step of Python QED at B=500 N=40.  Returns
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    B = len(n_nodes)
+    M, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+    nodes = np.ascontiguousarray(nodes, dtype=np.int8)
+    edges = np.ascontiguousarray(edges, dtype=np.int8)
+    if nodes.shape != (B, M, Fn) or edges.shape != (B, M, M, E):
+        return None
+    n_nodes_c = np.ascontiguousarray(n_nodes, dtype=np.int32)
+    charges = (ctypes.c_int * cfg.n_formal_charge)(*cfg.formal_charge)
+    if cfg.n_imp_H:
+        imp = (ctypes.c_int * cfg.n_imp_H)(*cfg.imp_H)
+        n_imp = cfg.n_imp_H
+    else:
+        imp = (ctypes.c_int * 1)(0)
+        n_imp = 0
+    n_chir = cfg.n_chirality if cfg.use_chirality else 0
+    chir_none = (cfg.chirality.index("None")
+                 if n_chir and "None" in cfg.chirality else -1)
+    out = np.zeros(B, dtype=np.float64)
+    r = lib.mk_qed_batch(
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        n_nodes_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        B, M, ";".join(cfg.atom_types).encode(),
+        charges, cfg.n_formal_charge, imp, n_imp,
+        n_chir, chir_none, E, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if r != B:
+        return None
+    return out

@@ -80,6 +80,22 @@ class ScoringFunction:
         return final
 
     # ------------------------------------------------------------------
+    def _native_qed(self, graphs: Sequence) -> Optional[np.ndarray]:
+        """One C++ batch call for the QED component (byte-identical to the
+        per-molecule Python path; 1.8 s/step of the round-3 RL loop was
+        Python QED at B=500 N=40).  None -> caller falls back."""
+        from graphinvent_tpu.chem.native import native_qed_batch
+        try:
+            nodes = np.stack([np.asarray(g.node_features) for g in graphs]
+                             ).astype(np.int8)
+            edges = np.stack([np.asarray(g.edge_features) for g in graphs]
+                             ).astype(np.int8)
+            n_nodes = np.asarray([g.n_nodes for g in graphs], np.int32)
+        except Exception:
+            return None
+        return native_qed_batch(nodes, edges, n_nodes, self.cfg)
+
+    # ------------------------------------------------------------------
     def _contributions(self, graphs: Sequence) -> List[np.ndarray]:
         out: List[np.ndarray] = []
         n = len(graphs)
@@ -94,9 +110,13 @@ class ScoringFunction:
                 score = 1.0 - np.abs(n_nodes - target) / denom
                 out.append(score)
             elif comp == "QED":
-                if mols is None:
-                    mols = [g.molecule for g in graphs]
-                out.append(np.array([qed(m) for m in mols], np.float64))
+                nat = self._native_qed(graphs)
+                if nat is not None:
+                    out.append(nat)
+                else:
+                    if mols is None:
+                        mols = [g.molecule for g in graphs]
+                    out.append(np.array([qed(m) for m in mols], np.float64))
             elif "activity" in comp:
                 if mols is None:
                     mols = [g.molecule for g in graphs]

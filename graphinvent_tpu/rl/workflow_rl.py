@@ -48,6 +48,9 @@ def _make_rl_grad(cfg: GraphInventConfig, mesh=None):
 
     def loss_fn(agent_params, actions_a, t_a, target_a, mask_a,
                 actions_b, t_b, target_b, mask_b, alpha):
+        # TWO B-row replays, not one concatenated 2B-row replay: measured
+        # 2930 vs 3386 ms at B=500 N=40 f32 (tools-era A/B, docs/9) -- the
+        # remat backward schedules worse at the doubled batch
         agent_ll_a = trajectory_loglik(cfg, agent_params, actions_a, t_a)
         diff_a = agent_ll_a - target_a
         loss_a = jnp.mean(diff_a * diff_a * mask_a)

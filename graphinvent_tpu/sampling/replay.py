@@ -55,6 +55,14 @@ def trajectory_loglik(cfg: GraphInventConfig, params: Params,
         acts = acts._replace(is_add=acts.is_add & active,
                              is_conn=acts.is_conn & active)
         nodes, edges, n_nodes = apply_actions(cfg, acts, nodes, edges, n_nodes)
+        # graph states are functions of the FIXED action sequence only --
+        # they carry no params dependence, so the true gradient is
+        # sum_s d/dparams log p(a_s | state_s).  stop_gradient makes that
+        # explicit; measured cost zero and gradients bit-identical (XLA
+        # already pruned the params-free state chain), kept as intent +
+        # regression guard.
+        nodes = jax.lax.stop_gradient(nodes)
+        edges = jax.lax.stop_gradient(edges)
         return (nodes, edges, n_nodes, acc), None
 
     init = (jnp.zeros((B, N, Fn), dt), jnp.zeros((B, N, N, E), dt),

@@ -191,6 +191,69 @@ def test_native_decode_edge_cases():
     _assert_decode_parity(cfg, nodes, edges, nn)
 
 
+def test_native_qed_matches_python():
+    """mk_qed_batch == descriptors.qed(graph_to_mol(...)) per row, kekulé
+    and aromatic modes (the RL scoring hot path)."""
+    from graphinvent_tpu.chem.descriptors import qed
+    from graphinvent_tpu.chem.molgraph import graph_to_mol
+    from graphinvent_tpu.chem.native import native_qed_batch
+
+    for aromatic, smis in ((False, SMILES), (True, AROMATIC_SMILES)):
+        cfg = preset("GGNN", use_aromatic_bonds=aromatic)
+        nodes, edges, nn = _graphs_from_smiles(cfg, smis,
+                                               kekulize=not aromatic)
+        out = native_qed_batch(nodes, edges, nn, cfg)
+        assert out is not None
+        for i in range(len(nn)):
+            mol = graph_to_mol(nodes[i], edges[i], int(nn[i]), cfg)
+            expect = qed(mol)
+            assert abs(out[i] - expect) < 1e-9, \
+                (smis[i], out[i], expect)
+        assert (out > 0).all()
+
+
+def test_native_qed_garbage_and_empty():
+    import jax
+    from graphinvent_tpu.config import test_config as tiny_config
+    from graphinvent_tpu.chem.descriptors import qed
+    from graphinvent_tpu.chem.native import native_qed_batch
+    from graphinvent_tpu.models import init_model
+    from graphinvent_tpu.sampling import GraphSampler
+
+    cfg = tiny_config("GGNN")
+    params = init_model(cfg, jax.random.PRNGKey(0))
+    res = GraphSampler(cfg, 32).sample(params, jax.random.PRNGKey(3),
+                                       quiet=True)
+    nodes = np.stack([g.node_features for g in res.graphs]).astype(np.int8)
+    edges = np.stack([g.edge_features for g in res.graphs]).astype(np.int8)
+    nn = np.asarray([g.n_nodes for g in res.graphs], np.int32)
+    out = native_qed_batch(nodes, edges, nn, cfg)
+    assert out is not None
+    for i, g in enumerate(res.graphs):
+        assert abs(out[i] - qed(g.molecule)) < 1e-9, i
+
+
+def test_scoring_function_native_matches_python(monkeypatch):
+    """ScoringFunction.compute_score is unchanged by the native QED path."""
+    import graphinvent_tpu.eval.scoring as scoring_mod
+    from graphinvent_tpu.chem.molgraph import MolGraph
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+
+    cfg = preset("GGNN", job_type="fine-tune",
+                 score_components=("QED", "target_size=10"),
+                 score_thresholds=(0.5, 0.5))
+    nodes, edges, nn = _graphs_from_smiles(cfg, SMILES)
+    graphs = [MolGraph(cfg, nodes[i], edges[i], int(nn[i]))
+              for i in range(len(nn))]
+    ones = np.ones(len(graphs))
+    sf = ScoringFunction(cfg)
+    native = sf.compute_score(graphs, ones, ones, ones)
+    monkeypatch.setattr(ScoringFunction, "_native_qed",
+                        lambda self, graphs: None)
+    python = sf.compute_score(graphs, ones, ones, ones)
+    np.testing.assert_allclose(native, python, atol=1e-9)
+
+
 def test_native_decode_gdb13_roundtrip():
     """Decode canonical graphs of the debug training set and require the
     canonical SMILES to round-trip (parse(write(g)) == write(g))."""

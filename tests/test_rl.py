@@ -167,6 +167,31 @@ def test_fingerprint_properties():
     assert a.sum() > 0
 
 
+def test_fingerprint_representation_invariant():
+    """The fingerprint of a molecule must not depend on whether it arrived
+    kekulized (SMILES parse / kekulé-mode graphs) or aromatic-typed
+    (use_aromatic_bonds graphs): a QSAR model trained on parsed SMILES
+    scored aromatic-mode generated molecules near 0 before the
+    aromatic-normalization fix (round 4)."""
+    from graphinvent_tpu.chem import mol_from_smiles
+    from graphinvent_tpu.chem.fingerprint import morgan_fingerprint
+    from graphinvent_tpu.chem.molgraph import graph_to_mol, ordered_graph
+    from graphinvent_tpu.config import preset
+
+    cfg_ar = preset("GGNN", use_aromatic_bonds=True)
+    # no [nH]: with ignore_H the graph features don't carry explicit H
+    # counts, so pyrrole-type NH does not roundtrip (documented lossiness
+    # of the featurization, not of the fingerprint)
+    for smi in ("c1ccccc1", "Cc1ccncc1", "c1ccsc1", "Oc1ccccc1C"):
+        kek = morgan_fingerprint(mol_from_smiles(smi))           # kekulized
+        arom = morgan_fingerprint(mol_from_smiles(smi, kekulize_mol=False))
+        nodes, edges, n = ordered_graph(
+            mol_from_smiles(smi, kekulize_mol=False), cfg_ar)
+        via_graph = morgan_fingerprint(graph_to_mol(nodes, edges, n, cfg_ar))
+        assert np.array_equal(kek, arom), smi
+        assert np.array_equal(kek, via_graph), smi
+
+
 def test_scoring_raises_on_missing_qsar_model():
     """A configured activity component whose model file is absent must fail
     at construction, not silently zero the reward (reference hard-loads the

@@ -37,7 +37,10 @@ from graphinvent_tpu.config import preset
 def fetch_sync(x):
     """Value-fetch sync: on the tunneled backend block_until_ready can
     return before the server finishes (BASELINE.md sampler-roofline note)."""
-    return np.asarray(jax.tree_util.tree_leaves(x)[0])[..., :1]
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if hasattr(leaf, "ravel"):          # 0-dim scalars ravel to (1,)
+        leaf = jax.numpy.ravel(leaf)[0:1]
+    return np.asarray(leaf)
 
 
 def main() -> None:
