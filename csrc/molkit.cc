@@ -455,7 +455,6 @@ std::vector<std::vector<int>> find_rings(const Mol& m) {
                    [](auto& x, auto& y) { return x.size() < y.size(); });
   std::map<std::pair<int, int>, int> bond_ids;
   for (size_t k = 0; k < keys.size(); ++k) bond_ids[keys[k]] = (int)k;
-  std::map<uint64_t, std::vector<uint64_t>> unused;
   // GF(2) independence with 128-bit-safe vector<uint64_t> bitmasks
   int words = ((int)keys.size() + 63) / 64;
   std::map<int, std::vector<uint64_t>> pivots;  // pivot bit -> vec

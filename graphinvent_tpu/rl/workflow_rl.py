@@ -121,6 +121,14 @@ def _score_batch(workflow, scoring_fn: ScoringFunction, analyzer: Analyzer,
 
 def learning_phase(workflow) -> None:
     """Fine-tunes a pre-trained model via policy gradient RL."""
+    if jax.process_index() != 0:
+        # single-writer like generate/test: under multi-host every process
+        # would roll out + score + update its own divergent copy and race
+        # on the job-dir files.  Multi-DEVICE fine-tuning (one process)
+        # shards rollouts/replay over the mesh below; multi-host RL would
+        # need cross-host rollout sharding + grad psum (not a reference
+        # capability -- it fine-tunes on one device, Workflow.py:515-612).
+        return
     cfg: GraphInventConfig = workflow.cfg
     logger = workflow.logger
     analyzer = Analyzer(cfg, logger, workflow._load_ts_properties(),

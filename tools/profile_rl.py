@@ -51,13 +51,15 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--max-atoms", type=int, default=13)
     ap.add_argument("--aromatic", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    help="compute_dtype; campaign fine-tune jobs run bfloat16")
     ap.add_argument("--score", default="QED,target_size=13",
                     help="comma-joined score_components")
     args = ap.parse_args()
 
     comps = tuple(args.score.split(","))
     cfg = preset(args.preset, job_type="fine-tune", batch_size=args.batch_size,
-                 max_n_nodes=args.max_atoms, compute_dtype="float32",
+                 max_n_nodes=args.max_atoms, compute_dtype=args.dtype,
                  use_aromatic_bonds=args.aromatic,
                  score_components=comps,
                  score_thresholds=tuple(0.5 for _ in comps))
