@@ -207,8 +207,11 @@ class GraphSampler:
         """Dispatches one sampling batch WITHOUT waiting: returns the
         on-device packed buffer (JAX async dispatch).  Pair with
         :meth:`finish`.  Lets a caller run batch k+1 on the device while it
-        fetches/decodes batch k -- the transfer+host tail then hides
-        entirely behind the next rollout (generation_phase uses this)."""
+        fetches/decodes batch k.  NOTE: on the tunneled axon backend this
+        was measured SLOWER than the synchronous loop (the server
+        serializes the fetch behind the queued program; docs/9), so
+        generation_phase stays synchronous -- the API is the right
+        structure for runtimes whose transfers overlap execution."""
         return self._jitted(params, key), time.time()
 
     def finish(self, handle, quiet: bool = False) -> SampleResult:
