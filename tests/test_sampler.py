@@ -228,3 +228,48 @@ def test_gen_action_budget_knob():
     # default: the reference's sizing
     assert tiny_config("GGNN").gen_action_budget \
         == 2 * tiny_config("GGNN").max_n_nodes
+
+
+def test_pack_unpack_roundtrip_exact():
+    """_pack_outputs -> _decode_packed is byte-exact for every field,
+    including the bit-packed node/edge tensors (round 4) and the two-byte
+    t/rounds counters -- pins the buffer layout that GraphSampler.finish
+    and tools/profile_sampler.py both parse."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphinvent_tpu.config import test_config as tiny_config
+    from graphinvent_tpu.sampling.generator import GraphSampler, _pack_outputs
+
+    cfg = tiny_config("GGNN")
+    B, N = 16, cfg.max_n_nodes
+    Fn, E, L = cfg.n_node_features, cfg.n_edge_features, cfg.gen_action_budget
+    rng = np.random.default_rng(3)
+    nodes = (rng.random((B, N, Fn)) < 0.3).astype(np.uint8)
+    edges = (rng.random((B, N, N, E)) < 0.15).astype(np.uint8)
+    n_nodes = rng.integers(0, N + 1, B).astype(np.int32)
+    ll = rng.normal(size=(B, L)).astype(np.float32)
+    acts = rng.integers(0, 60000, (B, L)).astype(np.int32)
+    term = rng.integers(0, 2, B).astype(np.uint8)
+    t = rng.integers(0, 700, B).astype(np.int32)   # > 255: exercises hi byte
+    rounds = jnp.asarray(517, jnp.int32)
+
+    packed = np.asarray(_pack_outputs(
+        jnp.asarray(nodes), jnp.asarray(edges), jnp.asarray(n_nodes),
+        jnp.asarray(ll), jnp.asarray(acts), jnp.asarray(term),
+        jnp.asarray(t), rounds))
+
+    s = GraphSampler(cfg, B)
+    res = s._decode_packed(packed, elapsed=0.0, quiet=True)
+    for i in range(B):
+        np.testing.assert_array_equal(res.graphs[i].node_features,
+                                      nodes[i].astype(np.float32))
+        np.testing.assert_array_equal(res.graphs[i].edge_features,
+                                      edges[i].astype(np.float32))
+        assert res.graphs[i].n_nodes == int(n_nodes[i])
+    np.testing.assert_array_equal(res.t_counts, t)
+    np.testing.assert_array_equal(res.actions, acts)
+    np.testing.assert_array_equal(res.properly_terminated, term)
+    np.testing.assert_allclose(res.final_loglikelihoods, ll.sum(axis=1),
+                               rtol=1e-6)
+    assert res.n_rounds == 517
