@@ -189,6 +189,17 @@ def native_decode_batch(nodes: np.ndarray, edges: np.ndarray,
         row = raw[i * smi_cap:(i + 1) * smi_cap]
         s = row.split(b"\0", 1)[0]
         smiles.append(s.decode() if s else None)
+    # smi_cap truncation guard: a ring-dense graph whose canonical SMILES
+    # exceeds 16*M+64 bytes comes back as an empty string while validity
+    # stays 1 -- a silent divergence from the Python writer.  Rebuild those
+    # rows through the Python path (rare: valence limits make overlong
+    # SMILES pathological, so the per-row cost is irrelevant).
+    for i in range(B):
+        if validity[i] and smiles[i] is None:
+            from graphinvent_tpu.chem.molgraph import graph_to_mol
+            from graphinvent_tpu.chem.smiles import mol_to_smiles
+            mol = graph_to_mol(nodes[i], edges[i], int(n_nodes_c[i]), cfg)
+            smiles[i] = mol_to_smiles(mol) if mol is not None else None
     return validity, smiles
 
 

@@ -338,6 +338,28 @@ class GraphInventConfig:
             raise ValueError(f"invalid decoding_route {self.decoding_route!r}")
         if len(self.score_components) != len(self.score_thresholds):
             raise ValueError("score_components and score_thresholds do not match")
+        # score components are only consumed by fine-tune jobs; the
+        # reference's OWN default is the degenerate "target_size=13" with
+        # max_n_nodes=13, so validating other job types would reject every
+        # default config
+        for comp in (self.score_components
+                     if self.job_type == "fine-tune" else ()):
+            if comp.startswith("target_size"):
+                try:
+                    target = int(comp.split("=", 1)[1])
+                except (IndexError, ValueError):
+                    raise ValueError(
+                        f"malformed score component {comp!r}: expected "
+                        f"'target_size=<int>'")
+                # the reference's 1 - |n-target|/(max-target) divides by zero
+                # at target == max_n_nodes (ScoringFunction.py:111-129); a
+                # real round-4 run with it scored 0.0 throughout (docs/7)
+                if not (0 < target < self.max_n_nodes):
+                    raise ValueError(
+                        f"target_size={target} must satisfy 0 < target < "
+                        f"max_n_nodes ({self.max_n_nodes}): the score "
+                        f"1 - |n - target|/(max_n_nodes - target) is "
+                        f"degenerate at the boundary")
         return self
 
     # ------------------------------------------------------------------

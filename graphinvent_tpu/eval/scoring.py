@@ -103,11 +103,19 @@ class ScoringFunction:
         for comp in self.score_components:
             if comp.startswith("target_size"):
                 target = int(comp.split("=", 1)[1])
-                if not (0 < target <= self.max_n_nodes):
-                    raise ValueError("invalid target_size")
+                # target == max_n_nodes is degenerate: the reference divides
+                # by (max_n_nodes - target) unguarded (ScoringFunction.py:
+                # 111-129) and a measured round-4 run with it scored 0.0 all
+                # the way down -- reject it like config.validate() does
+                if not (0 < target < self.max_n_nodes):
+                    raise ValueError(
+                        f"target_size={target} must satisfy 0 < target < "
+                        f"max_n_nodes ({self.max_n_nodes}); "
+                        f"target == max_n_nodes makes every score "
+                        f"1 - |n - max|/0 degenerate")
                 n_nodes = np.array([g.n_nodes for g in graphs], np.float64)
-                denom = max(self.max_n_nodes - target, 1)
-                score = 1.0 - np.abs(n_nodes - target) / denom
+                score = 1.0 - np.abs(n_nodes - target) / (self.max_n_nodes
+                                                          - target)
                 out.append(score)
             elif comp == "QED":
                 nat = self._native_qed(graphs)
@@ -124,8 +132,15 @@ class ScoringFunction:
                 fps = bulk_fingerprints(mols)
                 try:
                     probs = model.predict_proba(fps)[:, 1]
-                except Exception:
-                    probs = np.zeros(n)
+                except Exception as exc:
+                    # NO silent zero fallback: a fingerprint-dimension
+                    # mismatch or model quirk would zero the activity reward
+                    # for the whole run unnoticed -- the exact silent-zero
+                    # signature of the round-4 aromatic-fingerprint bug
+                    raise RuntimeError(
+                        f"QSAR model for {comp!r} failed on a "
+                        f"{np.asarray(fps).shape} fingerprint batch "
+                        f"(model {type(model).__name__}): {exc}") from exc
                 # molecules that failed to build score 0
                 for k, m in enumerate(mols):
                     if m is None or m.n_atoms == 0:

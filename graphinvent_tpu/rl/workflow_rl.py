@@ -119,6 +119,35 @@ def _score_batch(workflow, scoring_fn: ScoringFunction, analyzer: Analyzer,
     return scores, uniqueness
 
 
+# fraction-unique below this trips the collapse warning: healthy fine-tuning
+# stays >0.8 unique-per-batch; the measured N=40 collapse (reference-default
+# hyperparameters, docs/7:63-77) fell 0.95 -> 0.02 within ~40 steps and went
+# unnoticed in round 3 -- this is the guard that run lacked
+COLLAPSE_UNIQUENESS_THRESHOLD = 0.5
+
+
+def _warn_on_collapse(logger, step: int, unique: np.ndarray,
+                      primary: bool) -> float:
+    """Loud mode-collapse alarm on the agent rollout's batch uniqueness."""
+    frac = float(np.mean(np.asarray(unique) != 0))
+    if frac < COLLAPSE_UNIQUENESS_THRESHOLD:
+        import sys
+        msg = (f"*** WARNING step {step}: batch uniqueness {frac:.3f} < "
+               f"{COLLAPSE_UNIQUENESS_THRESHOLD} -- the agent is likely "
+               f"mode-collapsing (seen at N=40 with reference-default "
+               f"sigma/lr, docs/7). Lower init_lr / sigma or use binary "
+               f"scoring; consider restarting from the last good "
+               f"checkpoint. ***")
+        print(msg, file=sys.stderr, flush=True)
+        print(msg, flush=True)
+        if primary:
+            try:
+                logger.tb_scalar("Fine-tuning/uniqueness_collapse", frac, step)
+            except Exception:
+                pass
+    return frac
+
+
 def learning_phase(workflow) -> None:
     """Fine-tunes a pre-trained model via policy gradient RL."""
     if jax.process_index() != 0:
@@ -199,6 +228,7 @@ def learning_phase(workflow) -> None:
                                quiet=True)
         scores_a, unique_a = _score_batch(workflow, scoring_fn, analyzer,
                                           res_a, step, "agent", primary)
+        _warn_on_collapse(logger, step, unique_a, primary)
         prior_ll = np.asarray(loglik(
             prior_params, jnp.asarray(res_a.actions),
             jnp.asarray(res_a.t_counts)))

@@ -98,7 +98,8 @@ def test_rl_grad_dp_mesh_matches_single_device():
     from graphinvent_tpu.rl.workflow_rl import _make_rl_grad
 
     cfg = tiny_config("GGNN", job_type="fine-tune", batch_size=8,
-                      dp_devices=8)
+                      dp_devices=8, score_components=("target_size=5",),
+                      score_thresholds=(0.0,))
     params = init_model(cfg, jax.random.PRNGKey(0))
     B, L = cfg.batch_size, cfg.gen_action_budget
     rng = np.random.default_rng(0)
@@ -208,3 +209,97 @@ def test_scoring_raises_on_missing_qsar_model():
                        qsar_models={})
     with pytest.raises(FileNotFoundError):
         ScoringFunction(cfg2)
+
+
+def test_config_rejects_degenerate_target_size():
+    """target_size == max_n_nodes makes 1 - |n-t|/(max-t) divide by zero --
+    the reference accepts it unguarded (ScoringFunction.py:111-129) and a
+    real round-4 run with it scored 0.0 throughout (docs/7:82-87)."""
+    with pytest.raises(ValueError, match="target_size"):
+        tiny_config("GGNN", job_type="fine-tune",
+                    score_components=("target_size=13",),
+                    score_thresholds=(0.0,), score_type="binary")
+    with pytest.raises(ValueError, match="target_size"):
+        tiny_config("GGNN", job_type="fine-tune",
+                    score_components=("target_size=0",),
+                    score_thresholds=(0.0,), score_type="binary")
+    with pytest.raises(ValueError, match="malformed"):
+        tiny_config("GGNN", job_type="fine-tune",
+                    score_components=("target_size=big",),
+                    score_thresholds=(0.0,), score_type="binary")
+    # in-range still fine
+    tiny_config("GGNN", job_type="fine-tune",
+                score_components=("target_size=12",),
+                score_thresholds=(0.0,), score_type="binary")
+    # non-fine-tune jobs keep the reference-mirroring defaults (which
+    # include the degenerate target_size=13) without tripping the guard
+    tiny_config("GGNN", score_components=("target_size=13",),
+                score_thresholds=(0.0,), score_type="binary")
+    # ...but ScoringFunction itself still refuses to SCORE with it
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+    sf = ScoringFunction(tiny_config(
+        "GGNN", score_components=("target_size=13",),
+        score_thresholds=(0.0,), score_type="binary", qsar_models={}))
+
+    class G:
+        n_nodes = 5
+    with pytest.raises(ValueError, match="target_size"):
+        sf.compute_score([G()], np.ones(1), np.ones(1), np.ones(1))
+
+
+class _BrokenQSARModel:
+    # module level so pickle can round-trip it
+    def predict_proba(self, X):
+        raise ValueError("X has 1024 features, expected 2048")
+
+
+def test_scoring_raises_on_qsar_predict_failure(tmp_path):
+    """A QSAR model that blows up on predict_proba (e.g. fingerprint
+    dimension mismatch) must raise, not silently zero the activity reward
+    (the round-4 aromatic-fingerprint bug's silent-zero signature)."""
+    import pickle
+    from graphinvent_tpu.eval.scoring import ScoringFunction
+    from graphinvent_tpu.chem.smiles import mol_from_smiles
+
+    path = tmp_path / "broken.pkl"
+    with open(path, "wb") as fh:
+        pickle.dump(_BrokenQSARModel(), fh)
+    cfg = tiny_config("GGNN", score_components=("drd2_activity",),
+                      score_thresholds=(0.5,), score_type="binary",
+                      qsar_models={"drd2_activity": str(path)})
+    sf = ScoringFunction(cfg)
+
+    class G:
+        n_nodes = 3
+        molecule = mol_from_smiles("CCO")
+    ones = np.ones(2)
+    with pytest.raises(RuntimeError, match="drd2_activity"):
+        sf.compute_score([G(), G()], ones, ones, ones)
+
+
+def test_collapse_warning_fires(capsys):
+    """learning_phase's uniqueness-collapse alarm: below-threshold batch
+    uniqueness prints a loud warning (the round-3 collapse went unnoticed
+    because nothing watched this signal)."""
+    from graphinvent_tpu.rl.workflow_rl import (
+        COLLAPSE_UNIQUENESS_THRESHOLD, _warn_on_collapse)
+
+    class NullLogger:
+        def tb_scalar(self, *a, **k):
+            pass
+
+    collapsed = np.zeros(100, np.int8)
+    collapsed[:2] = 1                    # 2% unique: the measured collapse
+    frac = _warn_on_collapse(NullLogger(), 7, collapsed, primary=True)
+    assert frac == pytest.approx(0.02)
+    out = capsys.readouterr()
+    assert "WARNING" in out.err and "uniqueness" in out.err
+    assert "step 7" in out.err
+
+    healthy = np.ones(100, np.int8)
+    healthy[:5] = 0
+    frac = _warn_on_collapse(NullLogger(), 8, healthy, primary=True)
+    assert frac == pytest.approx(0.95)
+    out = capsys.readouterr()
+    assert "WARNING" not in out.err
+    assert COLLAPSE_UNIQUENESS_THRESHOLD == 0.5

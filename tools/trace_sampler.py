@@ -97,9 +97,12 @@ def main(batch=1000, dtype="bfloat16", max_atoms=40, aromatic=True,
                     name = emeta.get(ev.metadata_id, "?")
                     ms = ev.duration_ps / 1e9
                     # umbrella events (whole-program / whole-while spans)
-                    # give the wall clock but must not enter the op totals
-                    if name.startswith("jit_") or name.startswith("%while"):
-                        wall_ms = max(wall_ms, 0) + (ms if name.startswith("jit_") else 0)
+                    # give the wall clock but must not enter the op totals;
+                    # wall_ms is simply the sum of jit_ spans over the 3 runs
+                    if name.startswith("jit_"):
+                        wall_ms += ms
+                        continue
+                    if name.startswith("%while"):
                         continue
                     # async copy-start spans bracket overlapped DMA; their
                     # durations overlap compute and cannot be summed with it
