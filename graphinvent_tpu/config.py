@@ -123,6 +123,12 @@ class GraphInventConfig:
     # device_data.py).  A v5e keeps ~10 GiB free beside reference-dim
     # models; raise it for big HBM parts, lower it for big models.
     device_data_gb: float = 6.0
+    # streamed (bigger-than-HBM) training wire format: bitpack the 0/1
+    # node/edge tensors and keep APDs int8 on the host->device upload
+    # (~8x smaller; unpacked on device inside the jitted step) and push
+    # batch k+1's upload onto a worker thread while batch k computes
+    stream_packed: bool = True
+    stream_upload_ahead: bool = True
     epochs: int = 100
     init_lr: float = 1e-4
     max_rel_lr: float = 1.0

@@ -61,9 +61,11 @@ def make_mesh(cfg: GraphInventConfig,
 # sharding rules
 # --------------------------------------------------------------------------
 
-def batch_spec() -> Dict[str, P]:
-    return {"nodes": P("data"), "edges": P("data"), "apds": P("data"),
-            "valid": P("data")}
+def batch_spec(keys=("nodes", "edges", "apds", "valid")) -> Dict[str, P]:
+    """Every batch entry is row-major -> shard axis 0 over ``data``.  Works
+    for both wire formats (plain float32 and the bitpacked "nodes_p"/
+    "edges_p" streamed format, data/loader.py pack_rows)."""
+    return {k: P("data") for k in keys}
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]
@@ -174,7 +176,11 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
     pspecs = param_specs(params, tp)
     p_shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), pspecs)
-    b_shardings = {k: NamedSharding(mesh, s) for k, s in batch_spec().items()}
+    # the batch position takes None (inherit the argument's committed
+    # sharding): place_batch commits every key -- either wire format,
+    # plain or bitpacked -- to P("data"), so one compiled step per format
+    # serves without hard-coding the key set here
+    row_sharding = NamedSharding(mesh, P("data"))
     opt_shardings = AdamState(
         step=NamedSharding(mesh, P()),
         mu=p_shardings, nu=p_shardings)
@@ -182,11 +188,10 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, batch, rng):
-        nodes = batch["nodes"].astype(compute_dtype)
-        edges = batch["edges"].astype(compute_dtype)
+        from graphinvent_tpu.train.step import batch_arrays
+        nodes, edges, apds, valid = batch_arrays(cfg, batch, compute_dtype)
         logits = apply_model(cfg, params, nodes, edges, train=True, rng=rng)
-        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
-                           batch.get("valid"))
+        return apd_kl_loss(logits.astype(jnp.float32), apds, valid)
 
     # schedule constants as a replicated input vector, not HLO constants:
     # all epoch counts / LR choices share one compiled program
@@ -195,7 +200,7 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
 
     @functools.partial(
         jax.jit,
-        in_shardings=(p_shardings, opt_shardings, b_shardings, rng_sharding,
+        in_shardings=(p_shardings, opt_shardings, None, rng_sharding,
                       NamedSharding(mesh, P())),
         out_shardings=(p_shardings, opt_shardings, NamedSharding(mesh, P())),
         donate_argnums=(0, 1))
@@ -215,7 +220,7 @@ def make_sharded_train_step(cfg: GraphInventConfig, schedule: OneCycle,
         lambda p, s: jax.device_put(jnp.asarray(p), s), params, p_shardings)
 
     def place_batch(batch):
-        return {k: jax.device_put(jnp.asarray(v), b_shardings[k])
+        return {k: jax.device_put(jnp.asarray(v), row_sharding)
                 for k, v in batch.items()}
 
     return train_step, sharded_params, place_batch
@@ -235,19 +240,18 @@ def make_sharded_nll_step(cfg: GraphInventConfig, mesh: Mesh, params: Params
     pspecs = param_specs(params, tp)
     p_shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), pspecs)
-    b_shardings = {k: NamedSharding(mesh, s) for k, s in batch_spec().items()}
+    row_sharding = NamedSharding(mesh, P("data"))
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     @functools.partial(
         jax.jit,
-        in_shardings=(p_shardings, b_shardings),
+        in_shardings=(p_shardings, None),
         out_shardings=NamedSharding(mesh, P("data")))
     def _nll(params, batch):
-        nodes = batch["nodes"].astype(compute_dtype)
-        edges = batch["edges"].astype(compute_dtype)
+        from graphinvent_tpu.train.step import batch_arrays
+        nodes, edges, apds, _ = batch_arrays(cfg, batch, compute_dtype)
         logits = apply_model(cfg, params, nodes, edges, train=False)
-        p = correct_action_likelihoods(logits.astype(jnp.float32),
-                                       batch["apds"])
+        p = correct_action_likelihoods(logits.astype(jnp.float32), apds)
         return -jnp.log(jnp.maximum(p, 1e-30))
 
     def nll_step(params, batch):
@@ -258,7 +262,7 @@ def make_sharded_nll_step(cfg: GraphInventConfig, mesh: Mesh, params: Params
         lambda p, s: jax.device_put(jnp.asarray(p), s), params, p_shardings)
 
     def place_batch(batch):
-        return {k: jax.device_put(jnp.asarray(v), b_shardings[k])
+        return {k: jax.device_put(jnp.asarray(v), row_sharding)
                 for k, v in batch.items()}
 
     return nll_step, sharded_params, place_batch

@@ -103,11 +103,15 @@ def make_global_placer(mesh, specs: Dict) -> Callable:
     import jax
     from jax.sharding import NamedSharding
 
+    from jax.sharding import PartitionSpec
     shardings = {k: NamedSharding(mesh, s) for k, s in specs.items()}
+    # keys outside the spec (the bitpacked "nodes_p"/"edges_p" wire format)
+    # are row-major too -> data-sharded
+    row = NamedSharding(mesh, PartitionSpec("data"))
 
     def place(local_batch):
         return {k: jax.make_array_from_process_local_data(
-                    shardings[k], np.asarray(v))
+                    shardings.get(k, row), np.asarray(v))
                 for k, v in local_batch.items()}
 
     return place

@@ -25,6 +25,31 @@ Params = Any
 Batch = Dict[str, jnp.ndarray]
 
 
+def batch_arrays(cfg: GraphInventConfig, batch: Batch, compute_dtype
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            Optional[jnp.ndarray]]:
+    """Decode a batch in either wire format into (nodes, edges, apds, valid).
+
+    Plain format: float32 "nodes"/"edges"/"apds" (device-resident path,
+    tests).  Packed format (streamed training, data/loader.py pack_rows):
+    bitpacked uint8 "nodes_p"/"edges_p" + int8 "apds" -- 8x/4x smaller
+    host->device uploads, unpacked here ON DEVICE inside the jitted step.
+    Byte-exact: packbits/unpackbits of 0/1 one-hots round-trips, so the
+    streamed loss trajectory equals the unpacked one."""
+    if "nodes_p" in batch:
+        M, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+        B = batch["nodes_p"].shape[0]
+        nodes = jnp.unpackbits(batch["nodes_p"], axis=1, count=M * Fn
+                               ).reshape(B, M, Fn).astype(compute_dtype)
+        edges = jnp.unpackbits(batch["edges_p"], axis=1, count=M * M * E
+                               ).reshape(B, M, M, E).astype(compute_dtype)
+    else:
+        nodes = batch["nodes"].astype(compute_dtype)
+        edges = batch["edges"].astype(compute_dtype)
+    return (nodes, edges, batch["apds"].astype(jnp.float32),
+            batch.get("valid"))
+
+
 def make_train_step(cfg: GraphInventConfig, schedule: OneCycle
                     ) -> Callable[[Params, AdamState, Batch, jax.Array],
                                   Tuple[Params, AdamState, jnp.ndarray]]:
@@ -34,11 +59,9 @@ def make_train_step(cfg: GraphInventConfig, schedule: OneCycle
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, batch, rng):
-        nodes = batch["nodes"].astype(compute_dtype)
-        edges = batch["edges"].astype(compute_dtype)
+        nodes, edges, apds, valid = batch_arrays(cfg, batch, compute_dtype)
         logits = apply_model(cfg, params, nodes, edges, train=True, rng=rng)
-        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
-                           batch.get("valid"))
+        return apd_kl_loss(logits.astype(jnp.float32), apds, valid)
 
     # schedule constants as an input vector, not HLO constants: all epoch
     # counts / LR choices share one compiled program (optim.device_params)
@@ -64,11 +87,9 @@ def make_eval_step(cfg: GraphInventConfig) -> Callable[[Params, Batch], jnp.ndar
 
     @jax.jit
     def eval_step(params, batch):
-        nodes = batch["nodes"].astype(compute_dtype)
-        edges = batch["edges"].astype(compute_dtype)
+        nodes, edges, apds, valid = batch_arrays(cfg, batch, compute_dtype)
         logits = apply_model(cfg, params, nodes, edges, train=False)
-        return apd_kl_loss(logits.astype(jnp.float32), batch["apds"],
-                           batch.get("valid"))
+        return apd_kl_loss(logits.astype(jnp.float32), apds, valid)
 
     return eval_step
 
@@ -82,10 +103,9 @@ def make_likelihood_step(cfg: GraphInventConfig
 
     @jax.jit
     def nll_step(params, batch):
-        nodes = batch["nodes"].astype(compute_dtype)
-        edges = batch["edges"].astype(compute_dtype)
+        nodes, edges, apds, _ = batch_arrays(cfg, batch, compute_dtype)
         logits = apply_model(cfg, params, nodes, edges, train=False)
-        p = correct_action_likelihoods(logits.astype(jnp.float32), batch["apds"])
+        p = correct_action_likelihoods(logits.astype(jnp.float32), apds)
         return -jnp.log(jnp.maximum(p, 1e-30))
 
     return nll_step
