@@ -311,12 +311,18 @@ class Workflow:
             # flow of tools/combine_HDFs.py + tutorial 6, now built in)
             shard_kw = dict(shard_index=jax.process_index(),
                             num_shards=n_proc) if n_proc > 1 else {}
+            # bitpacked wire format: 8x smaller uploads through the
+            # host->device boundary the reference pays per batch in float32
+            # (BlockDatasetLoader.py:135-143 + Workflow.py:781-783); the
+            # jitted steps unpack on device (train/step.py batch_arrays)
+            packed = bool(cfg.stream_packed)
             train_loader = BlockLoader(train_ds, local_bs,
                                        cfg.block_size, seed=cfg.seed,
-                                       **shard_kw)
+                                       packed=packed, **shard_kw)
             valid_loader = BlockLoader(valid_ds, local_bs,
                                        cfg.block_size, shuffle=False,
-                                       seed=cfg.seed, **shard_kw)
+                                       seed=cfg.seed, packed=packed,
+                                       **shard_kw)
             if multi_device:
                 from graphinvent_tpu.parallel import (
                     make_mesh, make_sharded_train_step,
@@ -355,18 +361,53 @@ class Workflow:
                                                   to_host(params))
                 return params
 
+            def placed_batches(epoch):
+                """Upload-ahead iterator: batch k+1's pack + device_put run
+                on a worker thread while the device computes step k (the
+                generation_phase overlap pattern).  Transfers through the
+                tunnel don't overlap device EXECUTION (docs/9), but the
+                host-side HDF read + packbits + dispatch do overlap, and
+                the packed upload itself is ~8x smaller."""
+                train_loader.set_epoch(epoch)
+
+                def bounded():
+                    for k, batch in enumerate(train_loader):
+                        if k >= n_batches:
+                            # multihost: every process must dispatch the
+                            # same number of global steps; n_batches is the
+                            # min shard length (parallel/multihost.py)
+                            break
+                        yield batch
+                if not cfg.stream_upload_ahead:
+                    for batch in bounded():
+                        yield place_batch(batch)
+                    return
+                import queue as _queue
+                import threading as _threading
+                q: "_queue.Queue" = _queue.Queue(maxsize=2)
+                stop = object()
+
+                def worker():
+                    try:
+                        for batch in bounded():
+                            q.put(place_batch(batch))
+                    finally:
+                        q.put(stop)
+
+                t = _threading.Thread(target=worker, daemon=True)
+                t.start()
+                while True:
+                    item = q.get()
+                    if item is stop:
+                        break
+                    yield item
+                t.join()
+
             def run_train_epoch(epoch):
                 nonlocal params, opt_state
-                train_loader.set_epoch(epoch)
                 losses = []
                 step_count = _scalar_int(opt_state.step)
-                for k, batch in enumerate(train_loader):
-                    if k >= n_batches:
-                        # multihost: every process must dispatch the same
-                        # number of global steps; n_batches is the min
-                        # shard length (parallel/multihost.py)
-                        break
-                    b = place_batch(batch)
+                for b in placed_batches(epoch):
                     rng = jax.random.fold_in(self.key, step_count)
                     params, opt_state, loss = train_step(params, opt_state,
                                                          b, rng)
@@ -481,6 +522,43 @@ class Workflow:
         params = jax.tree_util.tree_map(jnp.asarray, params)
         return params, epoch
 
+    def _global_sample_batches(self, sampler, params, n_batches, key_for,
+                               quiet: bool = False):
+        """Yields ``(k, SampleResult)`` for ``n_batches`` global batches in
+        order.  Single-process: a plain loop.  Multi-host: generation is
+        embarrassingly parallel, so every process samples its round-robin
+        share concurrently (process p takes global batch r*P+p with that
+        batch's OWN key -- same molecule stream as a single-process run),
+        the fixed-shape packed buffers are allgathered, and only process 0
+        decodes/yields -- P hosts give ~P x device throughput with one
+        writer.  The reference had one GPU (Workflow.py:389-439); round 4
+        merely gated non-zero processes, sampling at 1-host speed."""
+        P = jax.process_count()
+        if P == 1:
+            for k in range(n_batches):
+                yield k, sampler.sample(params, key_for(k), quiet=quiet)
+            return
+        from jax.experimental import multihost_utils
+        pid = jax.process_index()
+        rounds = (n_batches + P - 1) // P
+        for r in range(rounds):
+            # tail processes past n_batches resample the last batch; their
+            # buffer is discarded below (the allgather is collective, so
+            # every process must contribute a buffer every round)
+            g = min(r * P + pid, n_batches - 1)
+            t0 = time.time()
+            dev, _ = sampler.sample_async(params, key_for(g))
+            packed = np.asarray(dev)                   # local fetch
+            gathered = np.asarray(multihost_utils.process_allgather(packed))
+            elapsed = time.time() - t0
+            if pid != 0:
+                continue
+            for p in range(P):
+                gb = r * P + p
+                if gb >= n_batches:
+                    break
+                yield gb, sampler._decode_packed(gathered[p], elapsed, quiet)
+
     def generation_phase(self) -> None:
         """Generate cfg.n_samples molecules (reference: Workflow.py:389-439).
 
@@ -489,29 +567,30 @@ class Workflow:
         while the device rolls out batch k+1 -- the device fetch in
         sampler.sample releases the GIL, so the two genuinely run
         concurrently.  One worker keeps per-batch writes in order.  Under
-        multi-host only process 0 samples/writes (every process would
-        otherwise write identical files into the job dir)."""
+        multi-host every process SAMPLES its share of the batches
+        (_global_sample_batches) and process 0 alone decodes + writes."""
         cfg = self.cfg
-        if jax.process_index() != 0:
-            return
         from concurrent.futures import ThreadPoolExecutor
-        ts_props = self._load_ts_properties()
-        analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
+        primary = jax.process_index() == 0
         params, epoch = self._load_model_for_inference(cfg.generation_epoch)
         batch = min(cfg.batch_size, cfg.n_samples)
         sampler = self._get_sampler(batch)
         n_batches = (cfg.n_samples + batch - 1) // batch
+        analyzer = None
+        if primary:
+            ts_props = self._load_ts_properties()
+            analyzer = Analyzer(cfg, self.logger, ts_props, self.start_time)
         pending = None
+        # NOTE: dispatching batch k+1 before fetching batch k
+        # (sample_async single-host) was measured SLOWER on the tunneled
+        # backend -- the server serializes the fetch behind the queued next
+        # program, so the transfer cannot overlap execution anyway and
+        # queueing adds latency (docs/9).  The worker thread still hides
+        # all host chemistry.
         with ThreadPoolExecutor(max_workers=1) as pool:
-            for k in range(n_batches):
-                # NOTE: dispatching batch k+1 before fetching batch k
-                # (sample_async) was measured SLOWER on the tunneled
-                # backend -- the server serializes the fetch behind the
-                # queued next program, so the transfer cannot overlap
-                # execution anyway and queueing adds latency (docs/9).
-                # The worker thread still hides all host chemistry.
-                res = sampler.sample(params,
-                                     jax.random.fold_in(self.key, k))
+            for k, res in self._global_sample_batches(
+                    sampler, params, n_batches,
+                    lambda k: jax.random.fold_in(self.key, k)):
                 if pending is not None:
                     pending.result()
                 pending = pool.submit(

@@ -5,7 +5,7 @@ assembly -> sharded train step) as one of N coordinated processes on CPU.
 Launched by the parent test with a clean environment (no axon sitecustomize,
 JAX_PLATFORMS=cpu, one virtual device per process).
 
-argv: pid nproc port data_dir job_dir epochs [job_type]
+argv: pid nproc port data_dir job_dir epochs [job_type [n_samples]]
 """
 
 import sys
@@ -15,6 +15,7 @@ def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     data_dir, job_dir, epochs = sys.argv[4], sys.argv[5], int(sys.argv[6])
     job_type = sys.argv[7] if len(sys.argv) > 7 else "train"
+    n_samples = int(sys.argv[8]) if len(sys.argv) > 8 else 8
 
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -26,6 +27,7 @@ def main() -> None:
     cfg = tiny_config(
         "GGNN", job_type=job_type, dataset_dir=data_dir, job_dir=job_dir,
         batch_size=8, block_size=16, epochs=epochs, sample_every=100,
+        n_samples=n_samples,
         dp_devices=nproc if job_type == "train" else 0,
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nproc, process_id=pid)

@@ -195,10 +195,12 @@ def test_two_process_training_matches_single_process(mh_env):
                                            f"model_restart_{EPOCHS}.ckpt"))
 
 
-def test_two_process_generate_single_writer(mh_env, tmp_path):
-    """Multi-host ``generate`` is process-0-only: host 0 produces files
-    identical to a single-process run, host 1 writes nothing (round-3
-    verdict item 6: every process used to sample + write the same files)."""
+def test_two_process_generate_sharded_single_writer(mh_env, tmp_path):
+    """Multi-host ``generate`` shards the batches across processes (host p
+    samples global batch r*P+p with that batch's own key) and process 0
+    alone decodes + writes: the combined output must be byte-identical to a
+    single-process run of the same n_samples, and host 1 must write nothing
+    (round-4 verdict item 6: gating left N hosts at 1-host throughput)."""
     import jax
     from graphinvent_tpu.models import init_model
     from graphinvent_tpu.train.optim import adam_init
@@ -215,14 +217,19 @@ def test_two_process_generate_single_writer(mh_env, tmp_path):
         os.makedirs(d, exist_ok=True)
         save_checkpoint(checkpoint_path(d, 30), params, adam_init(params), 30)
 
-    # single-process reference run
+    # single-process reference run: 16 samples = 2 batches of 8, so under
+    # 2 processes BOTH hosts contribute one batch each
+    N_SAMPLES = 16
     sp_cfg = tiny_config("GGNN", job_type="generate", dataset_dir=data_dir,
                          job_dir=job_dirs[0], batch_size=8, block_size=16,
-                         n_samples=8, sample_every=100)
+                         n_samples=N_SAMPLES, sample_every=100)
     Workflow(sp_cfg).run()
     sp_gen = os.path.join(job_dirs[0], "generation")
     sp_smis = sorted(f for f in os.listdir(sp_gen) if f.endswith(".smi"))
     assert sp_smis
+    n_sp_mols = sum(1 for f in sp_smis
+                    for line in open(os.path.join(sp_gen, f))
+                    if line.strip() and not line.startswith("SMILES"))
 
     port = _free_port()
     procs = []
@@ -230,7 +237,7 @@ def test_two_process_generate_single_writer(mh_env, tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_runner.py"),
              str(pid), "2", str(port), data_dir, job_dirs[1 + pid], "1",
-             "generate"],
+             "generate", str(N_SAMPLES)],
             env=_subprocess_env(), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
     for pid, p in enumerate(procs):
@@ -248,7 +255,13 @@ def test_two_process_generate_single_writer(mh_env, tmp_path):
     for f in sp_smis:
         assert open(os.path.join(h0_gen, f)).read() == \
             open(os.path.join(sp_gen, f)).read()
-    # host 1 sampled nothing and wrote nothing
+    # the sharded run produced the FULL sample count (2x throughput
+    # semantics), not one host's share
+    n_mh_mols = sum(1 for f in h0_smis
+                    for line in open(os.path.join(h0_gen, f))
+                    if line.strip() and not line.startswith("SMILES"))
+    assert n_mh_mols == n_sp_mols >= N_SAMPLES
+    # host 1 decoded nothing and wrote nothing
     h1_gen = os.path.join(job_dirs[2], "generation")
     assert not (os.path.exists(h1_gen) and
                 any(f.endswith(".smi") for f in os.listdir(h1_gen)))
