@@ -43,3 +43,53 @@ def test_in_process_campaign_end_to_end(tmp_path, monkeypatch):
     assert "Test" in val
     # resume logic: a second invocation skips completed stages quickly
     camp.main()
+
+
+def test_submit_pipeline_runs_stages_in_one_process(tmp_path, monkeypatch):
+    """tools/submit.py --pipeline runs multiple stages in ONE process over
+    one job dir (round-4 verdict item 8: the per-process server program
+    load, 38-350 s/stage on the tunnel, should be paid once per pipeline)."""
+    import submit as submit_tool
+
+    data_dir = str(tmp_path / "data") + "/"
+    os.makedirs(data_dir)
+    smiles = ["CC", "CCC", "CCO", "CC(C)C", "C1CC1", "OC1CC1", "NCCN",
+              "CC#N"]
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(data_dir, f"{split}.smi"), "w") as fh:
+            fh.write("SMILES\n")
+            for s in smiles:
+                fh.write(s + "\n")
+
+    job_dir = str(tmp_path / "job") + "/"
+    argv = ["submit.py", "--job-dir", job_dir,
+            "--pipeline", "preprocess,train,generate",
+            "--dataset-dir", data_dir, "--model", "GGNN",
+            "--set", "epochs=1", "--set", "batch_size=8",
+            "--set", "block_size=64", "--set", "n_samples=8",
+            "--set", "sample_every=99", "--set", "generation_epoch=1",
+            "--set", "mlp1_depth=2", "--set", "mlp1_hidden_dim=24",
+            "--set", "mlp2_depth=2", "--set", "mlp2_hidden_dim=24",
+            "--set", "enn_depth=2", "--set", "enn_hidden_dim=12",
+            "--set", "hidden_node_features=16", "--set", "message_size=16",
+            "--set", "message_passes=2", "--set", "gather_width=10",
+            "--set", "gather_att_depth=2", "--set", "gather_att_hidden_dim=12",
+            "--set", "gather_emb_depth=2", "--set", "gather_emb_hidden_dim=12",
+            "--set", "compute_dtype=float32"]
+    monkeypatch.setattr(sys, "argv", argv)
+    submit_tool.main()
+
+    # preprocess stage wrote the HDFs; train wrote the checkpoint;
+    # generate (same process, same job dir) wrote .smi files
+    for split in ("train", "valid", "test"):
+        assert os.path.exists(os.path.join(data_dir, f"{split}.h5")), split
+    assert os.path.exists(os.path.join(job_dir, "model_restart_1.ckpt"))
+    gen = os.path.join(job_dir, "generation")
+    assert any(f.endswith(".smi") for f in os.listdir(gen))
+
+    # unknown stages are rejected up front
+    monkeypatch.setattr(sys, "argv", ["submit.py", "--job-dir", job_dir,
+                                      "--pipeline", "train,deploy",
+                                      "--dataset-dir", data_dir])
+    with pytest.raises(SystemExit, match="deploy"):
+        submit_tool.main()
