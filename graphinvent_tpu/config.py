@@ -129,6 +129,11 @@ class GraphInventConfig:
     # batch k+1's upload onto a worker thread while batch k computes
     stream_packed: bool = True
     stream_upload_ahead: bool = True
+    # inference forwards route the stacked edge-type ENN through the fused
+    # Pallas kernel (models/fused_enn.py) on single-device TPU: the XLA
+    # path writes every (E,B,N,250) hidden layer to HBM, the kernel keeps
+    # them in VMEM (measured 1.53x on the ENN at N=40 B=1000 bf16)
+    fused_inference_enn: bool = True
     epochs: int = 100
     init_lr: float = 1e-4
     max_rel_lr: float = 1.0

@@ -94,6 +94,29 @@ def _readout_keys(rng: Optional[jax.Array], n: int):
     return jax.random.split(rng, n) if rng is not None else [None] * n
 
 
+def _enn_stack(cfg: GraphInventConfig, params: Params, hidden: jnp.ndarray,
+               dropout_p: float, train: bool, key) -> jnp.ndarray:
+    """Stacked per-edge-type MLP tower: the fused Pallas kernel on the
+    single-device TPU inference path (the sampler's HBM-bound hot spot,
+    BASELINE.md round 5), XLA's stacked einsum everywhere else (training
+    needs dropout + autodiff; meshes need the SPMD partitioner)."""
+    from graphinvent_tpu.models.fused_enn import fused_gate, fused_stacked_mlp
+    if cfg.fused_inference_enn and fused_gate(train, dropout_p):
+        return fused_stacked_mlp(params, hidden)
+    return stacked_mlp(params, hidden, dropout_p, train, key)
+
+
+def _mlp_inf(cfg: GraphInventConfig, params: Params, x: jnp.ndarray,
+             dropout_p: float, train: bool, key) -> jnp.ndarray:
+    """Plain-MLP twin of :func:`_enn_stack` (E=1 fused kernel on the
+    single-device TPU inference path): used for the EMN's per-edge-memory
+    nets, which have the same per-layer HBM-intermediate pattern."""
+    from graphinvent_tpu.models.fused_enn import fused_gate, fused_mlp
+    if cfg.fused_inference_enn and fused_gate(train, dropout_p):
+        return fused_mlp(params, x)
+    return mlp(params, x, dropout_p, train, key)
+
+
 # --------------------------------------------------------------------------
 # MNN (reference gnn/mpnn.py:16-74)
 # --------------------------------------------------------------------------
@@ -326,15 +349,21 @@ def apply_ggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     hidden, adjacency, degree, node_mask = _prepare(cfg, nodes, edges)
     for _ in range(cfg.message_passes):
         per_type = per_type_node_axis(
-            stacked_mlp(params["msg_nns"], hidden, cfg.enn_dropout_p,
-                        train, keys[0]))                   # (E, B, N, M)
+            _enn_stack(cfg, params["msg_nns"], hidden, cfg.enn_dropout_p,
+                       train, keys[0]))                    # (E, B, N, M)
         messages = _edge_type_contraction(edges, per_type)
         hidden = _masked_update(params["gru"], messages, hidden, node_mask)
+    from graphinvent_tpu.models.fused_enn import fused_gate
+    fused = cfg.fused_inference_enn and fused_gate(
+        train, cfg.gather_att_dropout_p, cfg.gather_emb_dropout_p,
+        cfg.mlp1_dropout_p, cfg.mlp2_dropout_p)
     graph_emb = graph_gather(params["gather"], hidden, nodes, node_mask,
                              cfg.big_positive, cfg.gather_att_dropout_p,
-                             cfg.gather_emb_dropout_p, train, keys[1])
+                             cfg.gather_emb_dropout_p, train, keys[1],
+                             fused=fused)
     return global_readout(params["apd"], hidden, graph_emb,
-                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train, keys[2])
+                          cfg.mlp1_dropout_p, cfg.mlp2_dropout_p, train,
+                          keys[2], fused=fused)
 
 
 # --------------------------------------------------------------------------
@@ -379,10 +408,10 @@ def apply_attggnn(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
     packed = cfg.emn_packed and _emn_edge_capacity(cfg) < cfg.max_n_nodes ** 2
     packing = _pack_edges(edges, _emn_edge_capacity(cfg)) if packed else None
     for _ in range(cfg.message_passes):
-        emb_per_type = stacked_mlp(params["msg_nns"], hidden,
-                                   cfg.msg_dropout_p, train, keys[0])
-        att_per_type = stacked_mlp(params["att_nns"], hidden,
-                                   cfg.att_dropout_p, train, keys[1])
+        emb_per_type = _enn_stack(cfg, params["msg_nns"], hidden,
+                                  cfg.msg_dropout_p, train, keys[0])
+        att_per_type = _enn_stack(cfg, params["att_nns"], hidden,
+                                  cfg.att_dropout_p, train, keys[1])
         if packed:
             messages = _packed_attention_messages(cfg, packing,
                                                   emb_per_type, att_per_type)
@@ -617,13 +646,13 @@ def apply_emn_packed(cfg: GraphInventConfig, params: Params,
     e_feat = jnp.take_along_axis(edges.reshape(B, NN, E), sel[..., None],
                                  axis=1)
     cat = jnp.concatenate([x_s, x_t, e_feat], axis=-1)
-    E_emb = edge_axis(jnp.tanh(mlp(params["embedding_nn"], cat,
-                                   cfg.edge_emb_dropout_p, train,
-                                   keys[0])) * valid_f)
+    E_emb = edge_axis(jnp.tanh(_mlp_inf(cfg, params["embedding_nn"], cat,
+                                        cfg.edge_emb_dropout_p, train,
+                                        keys[0])) * valid_f)
 
-    att_self = mlp(params["att_msg_nn"], E_emb, cfg.att_dropout_p,
+    att_self = _mlp_inf(cfg, params["att_msg_nn"], E_emb, cfg.att_dropout_p,
                    train, keys[1])                     # (B,E_cap,D)
-    emb_self = mlp(params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
+    emb_self = _mlp_inf(cfg, params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
                    train, keys[2])
 
     memories = edge_axis(jnp.zeros((B, E_cap, D), dt))
@@ -640,9 +669,9 @@ def apply_emn_packed(cfg: GraphInventConfig, params: Params,
                                     ).astype(dt))
 
     for _ in range(cfg.message_passes):
-        att_mem = mlp(params["att_msg_nn"], memories, cfg.att_dropout_p,
+        att_mem = _mlp_inf(cfg, params["att_msg_nn"], memories, cfg.att_dropout_p,
                       train, keys[1])
-        emb_mem = mlp(params["emb_msg_nn"], memories, cfg.msg_dropout_p,
+        emb_mem = _mlp_inf(cfg, params["emb_msg_nn"], memories, cfg.msg_dropout_p,
                       train, keys[2])
 
         # per-(b,d) stabiliser over every relevant energy (cancels exactly)
@@ -713,18 +742,18 @@ def apply_emn_dense(cfg: GraphInventConfig, params: Params, nodes: jnp.ndarray,
                          cfg.edge_emb_dropout_p, train, keys[0]))
     E_emb = pair_axis(E_emb * adj_f[..., None])
 
-    att_self = mlp(params["att_msg_nn"], E_emb, cfg.att_dropout_p,
+    att_self = _mlp_inf(cfg, params["att_msg_nn"], E_emb, cfg.att_dropout_p,
                    train, keys[1])                    # (B,N,N,D)
-    emb_self = mlp(params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
+    emb_self = _mlp_inf(cfg, params["emb_msg_nn"], E_emb, cfg.msg_dropout_p,
                    train, keys[2])
 
     memories = pair_axis(jnp.zeros((B, N, N, D), dt))
     neg_inf = jnp.asarray(cfg.big_negative, dt)
 
     for _ in range(cfg.message_passes):
-        att_mem = mlp(params["att_msg_nn"], memories, cfg.att_dropout_p,
+        att_mem = _mlp_inf(cfg, params["att_msg_nn"], memories, cfg.att_dropout_p,
                       train, keys[1])                  # (B,N,N,D): att(M[k,i]) at [k,i]
-        emb_mem = mlp(params["emb_msg_nn"], memories, cfg.msg_dropout_p,
+        emb_mem = _mlp_inf(cfg, params["emb_msg_nn"], memories, cfg.msg_dropout_p,
                       train, keys[2])
         # transpose to index by (i, k): attT[b,i,k,d] = att(M[k,i])
         attT = jnp.swapaxes(att_mem, 1, 2)

@@ -36,11 +36,21 @@ def init_graph_gather(key: jax.Array, node_features: int,
     }
 
 
+def _mlp(params, x, dropout_p, train, rng, fused):
+    """Inference-path dispatch: the fused Pallas kernel when the caller's
+    gate (models/fused_enn.fused_gate) allowed it, XLA's mlp otherwise."""
+    if fused:
+        from graphinvent_tpu.models.fused_enn import fused_mlp
+        return fused_mlp(params, x)
+    return mlp(params, x, dropout_p, train, rng)
+
+
 def graph_gather(params: Params, hidden_nodes: jnp.ndarray,
                  input_nodes: jnp.ndarray, node_mask: jnp.ndarray,
                  big_positive: float, att_dropout_p: float = 0.0,
                  emb_dropout_p: float = 0.0, train: bool = False,
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 rng: Optional[jax.Array] = None,
+                 fused: bool = False) -> jnp.ndarray:
     """hidden_nodes (B,N,H), input_nodes (B,N,Fn), node_mask (B,N) -> (B,G).
 
     Note the mask semantics: a node participates iff it has degree >= 1
@@ -51,10 +61,11 @@ def graph_gather(params: Params, hidden_nodes: jnp.ndarray,
         r1, r2 = jax.random.split(rng)
     cat = jnp.concatenate([hidden_nodes, input_nodes], axis=2)
     energy_mask = (1.0 - node_mask.astype(cat.dtype)) * big_positive
-    energies = mlp(params["att_nn"], cat, att_dropout_p, train, r1) \
+    energies = _mlp(params["att_nn"], cat, att_dropout_p, train, r1, fused) \
         - energy_mask[..., None]
     attention = jax.nn.softmax(energies, axis=1)
-    embedding = mlp(params["emb_nn"], hidden_nodes, emb_dropout_p, train, r2)
+    embedding = _mlp(params["emb_nn"], hidden_nodes, emb_dropout_p, train,
+                     r2, fused)
     return jnp.sum(attention * embedding, axis=1)
 
 
@@ -130,22 +141,23 @@ def init_global_readout(key: jax.Array, f_add_elems: int, f_conn_elems: int,
 def global_readout(params: Params, node_level_output: jnp.ndarray,
                    graph_embedding: jnp.ndarray, mlp1_dropout_p: float = 0.0,
                    mlp2_dropout_p: float = 0.0, train: bool = False,
-                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                   rng: Optional[jax.Array] = None,
+                   fused: bool = False) -> jnp.ndarray:
     """node_level_output (B,N,H), graph_embedding (B,G) -> APD logits
     (B, N*f_add_elems + N*f_conn_elems + 1).  No final activation
     (softmax/log-softmax applied by the loss/sampler, as in the reference)."""
     B, N, _ = node_level_output.shape
     keys = jax.random.split(rng, 5) if rng is not None else [None] * 5
-    f_add_1 = mlp(params["f_add_1"], node_level_output,
-                  mlp1_dropout_p, train, keys[0]).reshape(B, -1)
-    f_conn_1 = mlp(params["f_conn_1"], node_level_output,
-                   mlp1_dropout_p, train, keys[1]).reshape(B, -1)
-    f_add_2 = mlp(params["f_add_2"],
-                  jnp.concatenate([f_add_1, graph_embedding], axis=1),
-                  mlp2_dropout_p, train, keys[2])
-    f_conn_2 = mlp(params["f_conn_2"],
-                   jnp.concatenate([f_conn_1, graph_embedding], axis=1),
-                   mlp2_dropout_p, train, keys[3])
-    f_term_2 = mlp(params["f_term_2"], graph_embedding,
-                   mlp2_dropout_p, train, keys[4])
+    f_add_1 = _mlp(params["f_add_1"], node_level_output,
+                   mlp1_dropout_p, train, keys[0], fused).reshape(B, -1)
+    f_conn_1 = _mlp(params["f_conn_1"], node_level_output,
+                    mlp1_dropout_p, train, keys[1], fused).reshape(B, -1)
+    f_add_2 = _mlp(params["f_add_2"],
+                   jnp.concatenate([f_add_1, graph_embedding], axis=1),
+                   mlp2_dropout_p, train, keys[2], fused)
+    f_conn_2 = _mlp(params["f_conn_2"],
+                    jnp.concatenate([f_conn_1, graph_embedding], axis=1),
+                    mlp2_dropout_p, train, keys[3], fused)
+    f_term_2 = _mlp(params["f_term_2"], graph_embedding,
+                    mlp2_dropout_p, train, keys[4], fused)
     return jnp.concatenate([f_add_2, f_conn_2, f_term_2], axis=1)

@@ -201,3 +201,40 @@ def test_packed_matches_dense_chembl_scale():
         packed = np.asarray(apply_model(cfg_p, params, nodes, edges))
         np.testing.assert_allclose(packed, dense, rtol=3e-4, atol=3e-4,
                                    err_msg=model)
+
+
+def test_fused_enn_matches_stacked():
+    """The Pallas fused ENN kernel (interpret mode on CPU) must match the
+    XLA stacked_mlp bit-for-bit in f32, including on a row count that does
+    not divide the tile (the non-divisible grid pads reads / drops writes)."""
+    import jax
+    import jax.numpy as jnp
+    from graphinvent_tpu.models.core import init_stacked_mlp, stacked_mlp
+    from graphinvent_tpu.models.fused_enn import fused_mlp, fused_stacked_mlp
+
+    params = init_stacked_mlp(jax.random.PRNGKey(0), 4, 100, [250] * 2, 100)
+    x = jax.random.normal(jax.random.PRNGKey(1), (7, 13, 100),
+                          jnp.float32) * 0.5            # 91 rows: 91 % 64 != 0
+    ref = np.asarray(stacked_mlp(params, x))
+    got = np.asarray(fused_stacked_mlp(params, x, tile=64, interpret=True))
+    assert got.shape == ref.shape == (4, 7, 13, 100)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # E=1 wrapper used for the readout / EMN nets, incl. a 2D (B, I) input
+    from graphinvent_tpu.models.core import init_mlp, mlp
+    p1 = init_mlp(jax.random.PRNGKey(2), 60, [120] * 2, 30)
+    for shape in ((7, 13, 60), (91, 60)):
+        y = jax.random.normal(jax.random.PRNGKey(3), shape, jnp.float32)
+        r = np.asarray(mlp(p1, y))
+        g = np.asarray(fused_mlp(p1, y, tile=64, interpret=True))
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gate_off_on_cpu():
+    """CPU runs (every CI test) must take the XLA path: the gate requires a
+    real TPU backend, eval mode, zero dropout and no ambient mesh."""
+    from graphinvent_tpu.models.fused_enn import fused_gate
+    assert not fused_gate(False)          # cpu backend -> off
+    assert not fused_gate(True)           # train -> off regardless
+    assert not fused_gate(False, 0.5)     # dropout -> off
