@@ -134,6 +134,10 @@ class GraphInventConfig:
     # path writes every (E,B,N,250) hidden layer to HBM, the kernel keeps
     # them in VMEM (measured 1.53x on the ENN at N=40 B=1000 bf16)
     fused_inference_enn: bool = True
+    # RL replay-gradient remat granularity: checkpoint every k-th scan
+    # carry (1 = per-step remat).  Swept in round 5; 1 measured fastest
+    # at N=40 B=500 (BASELINE.md RL table)
+    rl_remat_segment: int = 1
     epochs: int = 100
     init_lr: float = 1e-4
     max_rel_lr: float = 1.0

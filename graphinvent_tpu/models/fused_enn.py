@@ -139,11 +139,36 @@ def fused_mlp(params: Params, x: jnp.ndarray, tile: int = 512,
     return out.reshape(*lead, out.shape[-1])
 
 
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_ctx = _threading.local()
+
+
+@_contextmanager
+def fused_inference():
+    """Opt-in context: the fused kernels activate only while a jit TRACES
+    inside it.  pallas_call has no autodiff rule, and ``train=False``
+    forwards are also differentiated (the RL trajectory replay,
+    sampling/replay.py), so "eval mode" alone cannot gate the kernel —
+    the round-5 remat sweep hit exactly that linearization failure.
+    GraphSampler wraps its jitted rollout in this context; grad-bearing
+    programs trace outside it and keep the XLA path."""
+    prev = getattr(_ctx, "on", False)
+    _ctx.on = True
+    try:
+        yield
+    finally:
+        _ctx.on = prev
+
+
 def fused_gate(train: bool, *dropout_ps: float) -> bool:
     """True when the inference-path Pallas kernels may replace XLA MLPs:
-    eval forward, no dropout, real single-device TPU, no ambient
-    edge-sharding mesh (pallas_call does not partition under the SPMD
-    partitioner)."""
+    inside a fused_inference() trace, eval forward, no dropout, real
+    single-device TPU, no ambient edge-sharding mesh (pallas_call does
+    not partition under the SPMD partitioner)."""
+    if not getattr(_ctx, "on", False):
+        return False
     if train or any(p != 0.0 for p in dropout_ps):
         return False
     if not fused_enn_available() or jax.device_count() != 1:

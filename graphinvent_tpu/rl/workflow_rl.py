@@ -82,10 +82,22 @@ def _make_rl_grad(cfg: GraphInventConfig, mesh=None):
 
 def _make_loglik(cfg: GraphInventConfig, mesh=None):
     """Jitted trajectory replay: calling trajectory_loglik raw executes the
-    L-step scan op-by-op (seconds per call through the TPU tunnel)."""
+    L-step scan op-by-op (seconds per call through the TPU tunnel).
+
+    The forward-only replay (prior/BASF likelihoods are *data* for the
+    loss targets, never differentiated) traces inside fused_inference():
+    the Pallas ENN kernel serves it like the sampler.  The GRADIENT
+    replay (_make_rl_grad) must NOT - pallas_call has no autodiff rule."""
     fn = lambda p, a, t: trajectory_loglik(cfg, p, a, t)
     if mesh is None:
-        return jax.jit(fn)
+        jitted = jax.jit(fn)
+
+        def run(*args):
+            from graphinvent_tpu.models.fused_enn import fused_inference
+            with fused_inference():
+                return jitted(*args)
+
+        return run
     from jax.sharding import NamedSharding, PartitionSpec as P
     row = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
@@ -226,12 +238,18 @@ def learning_phase(workflow) -> None:
         # ---- agent rollout -----------------------------------------------
         res_a = sampler.sample(agent_params, jax.random.fold_in(key, 2 * step),
                                quiet=True)
+        # overlap host scoring with device work (round-4 verdict item 5:
+        # the live activity step carried ~2x overhead over the device
+        # core): dispatch the prior replay AND the BASF rollout now, score
+        # the agent batch on the host while they execute, fetch after
+        prior_ll_dev = loglik(prior_params, jnp.asarray(res_a.actions),
+                              jnp.asarray(res_a.t_counts))
+        basf_handle = sampler.sample_async(
+            basf_params, jax.random.fold_in(key, 2 * step + 1))
         scores_a, unique_a = _score_batch(workflow, scoring_fn, analyzer,
                                           res_a, step, "agent", primary)
         _warn_on_collapse(logger, step, unique_a, primary)
-        prior_ll = np.asarray(loglik(
-            prior_params, jnp.asarray(res_a.actions),
-            jnp.asarray(res_a.t_counts)))
+        prior_ll = np.asarray(prior_ll_dev)
         target_a = jnp.asarray(prior_ll + sigma * scores_a, jnp.float32)
         mask_a = jnp.asarray(unique_a != 0, jnp.float32)
         # per-step likelihood traces (reference: Workflow.py:738-743 +
@@ -243,13 +261,12 @@ def learning_phase(workflow) -> None:
                              float(-np.mean(prior_ll)), step)
 
         # ---- best-agent-so-far rollout (Workflow.py:588-591,743-747) ------
-        res_b = sampler.sample(basf_params, jax.random.fold_in(key, 2 * step + 1),
-                               quiet=True)
+        res_b = sampler.finish(basf_handle, quiet=True)
+        basf_ll_dev = loglik(basf_params, jnp.asarray(res_b.actions),
+                             jnp.asarray(res_b.t_counts))
         scores_b, unique_b = _score_batch(workflow, scoring_fn, analyzer,
                                           res_b, step, "BASF", False)
-        basf_ll = np.asarray(loglik(
-            basf_params, jnp.asarray(res_b.actions),
-            jnp.asarray(res_b.t_counts)))
+        basf_ll = np.asarray(basf_ll_dev)
         # loss_b = (basf_ll - (agent_ll + sigma*score))^2, mask includes the
         # score > best_avg_score gate
         target_b = jnp.asarray(basf_ll - sigma * scores_b, jnp.float32)

@@ -199,9 +199,20 @@ class GraphSampler:
             lambda params, nodes, edges: apply_model(cfg, params, nodes, edges))
         # loop + pack in ONE program: a single dispatch and a single
         # device->host fetch per batch
-        self._jitted = jax.jit(
+        jitted = jax.jit(
             lambda params, key: _pack_outputs(
                 *_sample_loop(cfg, params, key, batch_size, apply_fn, mesh)))
+
+        def run(params, key):
+            # the rollout is grad-free: enable the fused inference Pallas
+            # kernels while (and only while) this program traces
+            # (models/fused_enn.fused_inference -- grad-bearing programs
+            # like the RL replay must keep the XLA path)
+            from graphinvent_tpu.models.fused_enn import fused_inference
+            with fused_inference():
+                return jitted(params, key)
+
+        self._jitted = run
 
     def sample_async(self, params: Params, key: jax.Array):
         """Dispatches one sampling batch WITHOUT waiting: returns the

@@ -67,10 +67,26 @@ def trajectory_loglik(cfg: GraphInventConfig, params: Params,
 
     init = (jnp.zeros((B, N, Fn), dt), jnp.zeros((B, N, N, E), dt),
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
-    # rematerialise each replay step in the backward pass: without this the
+    # rematerialise replay steps in the backward pass: without remat the
     # grad-of-scan stores every step's MLP activations -- e.g.
     # f32[L, B, N, 500] per APD-head layer, tens of GB at L=26, B=500 --
     # and OOMs HBM.  Recompute costs ~1/3 extra FLOPs for O(L)-less memory.
-    (_, _, _, acc), _ = jax.lax.scan(jax.checkpoint(step), init,
-                                     jnp.arange(L))
+    # rl_remat_segment k>1 checkpoints only every k-th carry and lets the
+    # backward store activations for k steps at a time (memory ~ k x one
+    # step, still O(L)-free); k=1 is the classic per-step remat.  Swept in
+    # round 5 (BASELINE.md RL table) -- per-step remat measured fastest at
+    # N=40 B=500, the knob stays for other dims/parts.
+    seg = max(int(getattr(cfg, "rl_remat_segment", 1)), 1)
+    if seg > 1:
+        S = -(-L // seg)                       # ceil: pad steps are inert
+        idxs = jnp.arange(S * seg).reshape(S, seg)
+
+        def segment(carry, seg_idxs):
+            carry, _ = jax.lax.scan(step, carry, seg_idxs)
+            return carry, None
+
+        (_, _, _, acc), _ = jax.lax.scan(jax.checkpoint(segment), init, idxs)
+    else:
+        (_, _, _, acc), _ = jax.lax.scan(jax.checkpoint(step), init,
+                                         jnp.arange(L))
     return acc

@@ -232,9 +232,14 @@ def test_fused_enn_matches_stacked():
 
 
 def test_fused_gate_off_on_cpu():
-    """CPU runs (every CI test) must take the XLA path: the gate requires a
+    """CPU runs (every CI test) must take the XLA path: the gate requires
+    the opt-in fused_inference() context (only the grad-free sampler
+    enables it -- the RL replay differentiates train=False forwards), a
     real TPU backend, eval mode, zero dropout and no ambient mesh."""
-    from graphinvent_tpu.models.fused_enn import fused_gate
-    assert not fused_gate(False)          # cpu backend -> off
-    assert not fused_gate(True)           # train -> off regardless
-    assert not fused_gate(False, 0.5)     # dropout -> off
+    from graphinvent_tpu.models.fused_enn import fused_gate, fused_inference
+    assert not fused_gate(False)          # outside the context -> off
+    with fused_inference():
+        assert not fused_gate(False)      # cpu backend -> off
+        assert not fused_gate(True)       # train -> off regardless
+        assert not fused_gate(False, 0.5)  # dropout -> off
+    assert not fused_gate(False)

@@ -53,8 +53,13 @@ def main() -> None:
     ap.add_argument("--aromatic", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     help="compute_dtype; campaign fine-tune jobs run bfloat16")
-    ap.add_argument("--score", default="QED,target_size=13",
-                    help="comma-joined score_components")
+    ap.add_argument("--score", default="QED",
+                    help="comma-joined score_components (the old "
+                         "target_size=max_n_nodes default is now rejected "
+                         "as degenerate by config.validate)")
+    ap.add_argument("--remat-segment", type=int, default=1,
+                    help="rl_remat_segment: checkpoint every k-th replay "
+                         "carry (1 = per-step remat)")
     args = ap.parse_args()
 
     comps = tuple(args.score.split(","))
@@ -62,6 +67,7 @@ def main() -> None:
                  max_n_nodes=args.max_atoms, compute_dtype=args.dtype,
                  use_aromatic_bonds=args.aromatic,
                  score_components=comps,
+                 rl_remat_segment=args.remat_segment,
                  score_thresholds=tuple(0.5 for _ in comps))
 
     from graphinvent_tpu.eval.analyzer import Analyzer
