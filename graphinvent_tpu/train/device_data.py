@@ -189,7 +189,11 @@ def make_epoch_eval_fn(cfg: GraphInventConfig, data: DeviceDataset,
         return jnp.mean(losses)
 
     def run(params, perm):
-        return eval_fn(params, data.nodes, data.edges, data.apds, perm)
+        # grad-free: fused inference kernels allowed (gate self-disables
+        # on CPU / under a mesh)
+        from graphinvent_tpu.models.fused_enn import fused_inference
+        with fused_inference():
+            return eval_fn(params, data.nodes, data.edges, data.apds, perm)
 
     return _mesh_wrap(run, mesh)
 
@@ -214,6 +218,8 @@ def make_epoch_nll_fn(cfg: GraphInventConfig, data: DeviceDataset,
         return nlls.reshape(-1), valid.reshape(-1)
 
     def run(params, perm):
-        return nll_fn(params, data.nodes, data.edges, data.apds, perm)
+        from graphinvent_tpu.models.fused_enn import fused_inference
+        with fused_inference():
+            return nll_fn(params, data.nodes, data.edges, data.apds, perm)
 
     return _mesh_wrap(run, mesh)

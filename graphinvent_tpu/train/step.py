@@ -91,7 +91,14 @@ def make_eval_step(cfg: GraphInventConfig) -> Callable[[Params, Batch], jnp.ndar
         logits = apply_model(cfg, params, nodes, edges, train=False)
         return apd_kl_loss(logits.astype(jnp.float32), apds, valid)
 
-    return eval_step
+    def run(params, batch):
+        # grad-free forward: the fused inference kernels may serve it
+        # (models/fused_enn.fused_gate turns itself off on CPU/mesh)
+        from graphinvent_tpu.models.fused_enn import fused_inference
+        with fused_inference():
+            return eval_step(params, batch)
+
+    return run
 
 
 def make_likelihood_step(cfg: GraphInventConfig
@@ -108,4 +115,9 @@ def make_likelihood_step(cfg: GraphInventConfig
         p = correct_action_likelihoods(logits.astype(jnp.float32), apds)
         return -jnp.log(jnp.maximum(p, 1e-30))
 
-    return nll_step
+    def run(params, batch):
+        from graphinvent_tpu.models.fused_enn import fused_inference
+        with fused_inference():
+            return nll_step(params, batch)
+
+    return run
