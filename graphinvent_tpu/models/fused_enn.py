@@ -17,10 +17,15 @@ matrices, so Mosaic never sees the (tile_b, N_pad, F) row-merges whose
 dims, no non-128-aligned lane slicing — the two Mosaic traps hit while
 building this.
 
-Numerics match ``core.stacked_mlp`` bf16 semantics: dots take bf16 inputs
-with f32 accumulation; bias-add + SELU evaluate in f32 (Mosaic cannot
-lower bf16 transcendentals) and round to bf16 between layers.  Parity:
-tests/test_models.py::test_fused_enn_matches_stacked.
+Numerics: dots take bf16 inputs with f32 accumulation; bias-add + SELU
+evaluate in f32 (Mosaic cannot lower bf16 transcendentals) and round to
+bf16 between layers.  In f32 this is bit-compatible with
+``core.stacked_mlp`` (tests/test_models.py::test_fused_enn_matches_stacked);
+in bf16 it deliberately DIFFERS in low bits — XLA rounds the accumulator
+to bf16 before the bias/SELU, the kernel keeps f32 through them — and is
+measurably CLOSER to the f32 truth (GGNN APD logits max |Δ| from f32:
+0.126 fused vs 0.372 XLA-bf16 at N=40 B=1000; BASELINE.md round 5), so
+bf16 molecule streams shift within bf16 noise when the kernel toggles.
 """
 
 from __future__ import annotations
@@ -31,10 +36,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-Params = Any
+from graphinvent_tpu.models.core import _SELU_ALPHA, _SELU_SCALE
 
-_SELU_ALPHA = 1.6732632423543772848170429916717
-_SELU_SCALE = 1.0507009873554804934193349852946
+Params = Any
 
 
 def _selu_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -164,12 +168,15 @@ def fused_inference():
 
 def fused_gate(train: bool, *dropout_ps: float) -> bool:
     """True when the inference-path Pallas kernels may replace XLA MLPs:
-    inside a fused_inference() trace, eval forward, no dropout, real
-    single-device TPU, no ambient edge-sharding mesh (pallas_call does
-    not partition under the SPMD partitioner)."""
+    inside a fused_inference() trace, eval forward, real single-device
+    TPU, no ambient edge-sharding mesh (pallas_call does not partition
+    under the SPMD partitioner).  ``dropout_ps`` are accepted but
+    irrelevant: mlp()/stacked_mlp() ignore dropout when train=False, so a
+    dropout-trained model keeps the kernel for its eval forwards."""
+    del dropout_ps
     if not getattr(_ctx, "on", False):
         return False
-    if train or any(p != 0.0 for p in dropout_ps):
+    if train:
         return False
     if not fused_enn_available() or jax.device_count() != 1:
         return False

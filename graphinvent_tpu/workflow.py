@@ -386,11 +386,17 @@ class Workflow:
                 import threading as _threading
                 q: "_queue.Queue" = _queue.Queue(maxsize=2)
                 stop = object()
+                failure = []
 
                 def worker():
+                    # a swallowed exception here would silently truncate
+                    # the epoch (and, multihost, deadlock the peers in the
+                    # collective step) -- capture and re-raise below
                     try:
                         for batch in bounded():
                             q.put(place_batch(batch))
+                    except BaseException as exc:   # noqa: BLE001
+                        failure.append(exc)
                     finally:
                         q.put(stop)
 
@@ -402,6 +408,8 @@ class Workflow:
                         break
                     yield item
                 t.join()
+                if failure:
+                    raise failure[0]
 
             def run_train_epoch(epoch):
                 nonlocal params, opt_state
@@ -553,11 +561,14 @@ class Workflow:
             elapsed = time.time() - t0
             if pid != 0:
                 continue
-            for p in range(P):
-                gb = r * P + p
-                if gb >= n_batches:
-                    break
-                yield gb, sampler._decode_packed(gathered[p], elapsed, quiet)
+            n_decoded = min(P, n_batches - r * P)
+            # the round produced n_decoded batches in `elapsed` seconds
+            # CONCURRENTLY -- attribute an equal share to each, so summed
+            # per-batch timings and the printed mol/s stay honest
+            per_batch = elapsed / max(n_decoded, 1)
+            for p in range(n_decoded):
+                yield r * P + p, sampler._decode_packed(
+                    gathered[p], per_batch, quiet)
 
     def generation_phase(self) -> None:
         """Generate cfg.n_samples molecules (reference: Workflow.py:389-439).
@@ -572,7 +583,25 @@ class Workflow:
         cfg = self.cfg
         from concurrent.futures import ThreadPoolExecutor
         primary = jax.process_index() == 0
-        params, epoch = self._load_model_for_inference(cfg.generation_epoch)
+        if jax.process_count() > 1:
+            # only process 0 needs the checkpoint file (round-4 semantics,
+            # where non-zero processes exited before loading); its params
+            # broadcast to the samplers on every other host
+            from jax.experimental import multihost_utils
+            from graphinvent_tpu.models import init_model
+            if primary:
+                params, epoch = self._load_model_for_inference(
+                    cfg.generation_epoch)
+            else:
+                params = init_model(cfg, jax.random.PRNGKey(0))
+                epoch = 0
+            host_tree = jax.tree_util.tree_map(np.asarray, params)
+            params, epoch_arr = multihost_utils.broadcast_one_to_all(
+                (host_tree, np.int32(epoch)))
+            epoch = int(epoch_arr)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            params, epoch = self._load_model_for_inference(cfg.generation_epoch)
         batch = min(cfg.batch_size, cfg.n_samples)
         sampler = self._get_sampler(batch)
         n_batches = (cfg.n_samples + batch - 1) // batch

@@ -39,8 +39,12 @@ def run_pipeline(cfg: GraphInventConfig, stages) -> None:
     what ``generate``/``test`` load), exactly like running main.py N times
     — minus N-1 process warm-ups."""
     from graphinvent_tpu.workflow import Workflow
+    # validate EVERY stage's config up front: an invalid later stage (e.g.
+    # fine-tune with the degenerate default target_size) must fail before
+    # hours of earlier stages run, not after
+    stage_cfgs = {stage: cfg.replace(job_type=stage) for stage in stages}
     for stage in stages:
-        stage_cfg = cfg.replace(job_type=stage)
+        stage_cfg = stage_cfgs[stage]
         # leave the running stage's input.csv behind for restart/debugging
         stage_cfg.write_csv(os.path.join(cfg.job_dir, "input.csv"))
         t0 = time.time()
