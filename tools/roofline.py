@@ -282,6 +282,12 @@ def measure_sampler(cfg, n_rounds: int = 16, seed: int = 0,
     compiled = fn.lower(params, key).compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    # XLA cost analysis counts a fori/while BODY ONCE regardless of trip
+    # count (verified: rounds=4 and rounds=8 report identical flops), so
+    # the body count IS the per-round count.  Until round 5 this was
+    # divided by n_rounds, understating sampler FLOPs (and MFU) 16x --
+    # the "1.5% MFU" sampler rows in rounds 3-4 were this bug; the true
+    # pre-kernel figure at N=40 was ~24-34%.
     flops = float(cost.get("flops", 0.0))
 
     # Warm up with a VALUE fetch, not block_until_ready: on the tunneled
@@ -301,7 +307,7 @@ def measure_sampler(cfg, n_rounds: int = 16, seed: int = 0,
         round_time_s=float(np.median(times)),
         round_time_min_s=float(min(times)),
         round_time_max_s=float(max(times)),
-        flops_per_round=flops / n_rounds,
+        flops_per_round=flops,
         n_rounds=n_rounds,
     )
 
