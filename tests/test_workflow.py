@@ -342,3 +342,37 @@ def test_streamed_matches_device_resident_loss_trajectory(tmp_path):
                          stream_upload_ahead=False, **common)).run()
     plain = _train_losses(os.path.join(jd_plain, "convergence.log"))
     np.testing.assert_allclose(stream, plain, rtol=1e-5)
+
+
+def test_streamed_upload_worker_errors_propagate(tmp_path, monkeypatch):
+    """An I/O or placement failure on the upload-ahead worker thread must
+    raise in the training loop, not silently truncate the epoch (review
+    finding: a swallowed error under multihost would deadlock the peers'
+    collective step)."""
+    from graphinvent_tpu.workflow import Workflow
+
+    data_dir = str(tmp_path / "data") + "/"
+    os.makedirs(data_dir)
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(data_dir, f"{split}.smi"), "w") as fh:
+            fh.write("SMILES\n")
+            for s in SMILES:
+                fh.write(s + "\n")
+    common = dict(dataset_dir=data_dir, batch_size=8, block_size=16,
+                  epochs=1, sample_every=99, generation_epoch=99)
+    Workflow(tiny_config("GGNN", job_type="preprocess", job_dir=data_dir,
+                         **common)).run()
+
+    from graphinvent_tpu.data import loader as loader_mod
+    orig = loader_mod.pack_rows
+
+    def boom(a):
+        raise OSError("disk exploded mid-epoch")
+
+    monkeypatch.setattr(loader_mod, "pack_rows", boom)
+    wf = Workflow(tiny_config("GGNN", job_type="train",
+                              job_dir=str(tmp_path / "job") + "/",
+                              device_data_gb=0.0, **common))
+    with pytest.raises(OSError, match="disk exploded"):
+        wf.run()
+    monkeypatch.setattr(loader_mod, "pack_rows", orig)
