@@ -172,7 +172,7 @@ def main() -> None:
     ap.add_argument("--n-generate", type=int, default=30000)
     ap.add_argument("--stage", default="all",
                     choices=["all", "data", "preprocess", "train",
-                             "generate", "test"])
+                             "generate", "test", "score"])
     ap.add_argument("--device-data-gb", type=float, default=6.0,
                     help="HBM budget for device-resident epochs (raise for "
                          "N=80 datasets; v5e has 16 GB)")
@@ -184,7 +184,8 @@ def main() -> None:
     os.makedirs(args.root, exist_ok=True)
 
     stages = ([args.stage] if args.stage != "all"
-              else ["data", "preprocess", "train", "generate", "test"])
+              else ["data", "preprocess", "train", "generate", "test",
+                    "score"])
     train_dir = f"train-{args.model.lower()}"
     final_ckpt = os.path.join(args.root, "jobs", train_dir,
                               f"model_restart_{args.epochs}.ckpt")
@@ -217,6 +218,20 @@ def main() -> None:
             # are the campaign's final artifact
             job(args, train_dir, "test",
                 "--set", f"generation_epoch={args.epochs}")
+        elif st == "score":
+            # MOSES-style suite over the full 30k generated set (round 5);
+            # CPU-only, runs after the device stages
+            gen_glob = os.path.join(args.root, "jobs", train_dir,
+                                    "generation",
+                                    f"epoch_{args.epochs}_gen*.smi")
+            data = os.path.join(args.root, "data")
+            run([sys.executable, f"{REPO}/tools/moses_metrics.py", gen_glob,
+                 "--train", os.path.join(data, "train.smi"),
+                 "--test", os.path.join(data, "test.smi"),
+                 "--jobs", "8",
+                 "--out", os.path.join(args.root, "jobs", train_dir,
+                                       "moses_metrics.json")],
+                CPU_ENV, "score")
     print("== campaign complete", flush=True)
 
 
