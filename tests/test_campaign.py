@@ -41,8 +41,35 @@ def test_in_process_campaign_end_to_end(tmp_path, monkeypatch):
     # test stage: scores in validation.log
     val = open(os.path.join(jobs, "validation.log")).read()
     assert "Test" in val
+    # score stage (round 5): MOSES-style metrics written next to the ckpts
+    import json
+    metrics = json.load(open(os.path.join(jobs, "moses_metrics.json")))
+    for key in ("validity", "novelty", "int_div_1", "scaffold_novelty"):
+        assert 0.0 <= metrics[key] <= 1.0, key
     # resume logic: a second invocation skips completed stages quickly
     camp.main()
+
+
+def test_create_dataset_jobs_deterministic(tmp_path, monkeypatch):
+    """--jobs N must produce byte-identical splits to --jobs 1 (the
+    dedupe/sort/shuffle downstream is order-independent)."""
+    import subprocess
+
+    raw = tmp_path / "raw.smi"
+    raw.write_text("SMILES\n" + "\n".join(
+        ["CCO", "CCN", "c1ccccc1", "CC(=O)O", "CCCC", "CCOC", "CCS",
+         "c1ccncc1", "CC(C)C", "CCCl"]) + "\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    outs = {}
+    for jobs in (1, 3):
+        out = tmp_path / f"j{jobs}"
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "create_dataset.py"),
+             str(raw), str(out), "--max-atoms", "12", "--jobs", str(jobs)],
+            env=env, check=True, capture_output=True)
+        outs[jobs] = {p: (out / p).read_text()
+                      for p in ("train.smi", "valid.smi", "test.smi")}
+    assert outs[1] == outs[3]
 
 
 def test_submit_pipeline_runs_stages_in_one_process(tmp_path, monkeypatch):

@@ -75,7 +75,8 @@ def stage_data(args) -> None:
         CPU_ENV, "data")
     run([sys.executable, f"{REPO}/tools/create_dataset.py", raw, data,
          "--max-atoms", args.max_atoms, "--charges", "-1", "0", "1",
-         "--valid-frac", "0.05", "--test-frac", "0.05"], CPU_ENV, "data")
+         "--valid-frac", "0.05", "--test-frac", "0.05", "--jobs", "8"],
+        CPU_ENV, "data")
 
 
 def stage_preprocess(args) -> None:

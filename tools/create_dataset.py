@@ -7,12 +7,14 @@ this tool applies the same filters + canonicalisation + train/valid/test
 splitting to a local SMILES file:
 
     python tools/create_dataset.py raw.smi out_dir/ \
-        --max-atoms 80 --charges -1 0 1 --valid-frac 0.05 --test-frac 0.05
+        --max-atoms 80 --charges -1 0 1 --valid-frac 0.05 --test-frac 0.05 \
+        [--jobs 8]
 """
 
 from __future__ import annotations
 
 import argparse
+import multiprocessing as mp
 import os
 import random
 import sys
@@ -21,6 +23,32 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from graphinvent_tpu.chem import mol_from_smiles, mol_to_smiles
 from graphinvent_tpu.data.preprocess import read_smiles_file
+
+_FILTER: tuple = ()           # (max_atoms, frozenset(charges)) in workers
+
+
+def _filter_one(smi: str):
+    """Parse + filter + canonicalize one SMILES; None when rejected.
+    Module-level so a multiprocessing pool can run it; results are
+    order-independent downstream (sorted-set dedupe), so any worker
+    count gives byte-identical splits."""
+    max_atoms, charges = _FILTER
+    try:
+        mol = mol_from_smiles(smi)
+    except Exception:
+        return None
+    if not mol.is_connected():
+        return None
+    if mol.n_atoms > max_atoms:
+        return None
+    if any(a.charge not in charges for a in mol.atoms):
+        return None
+    return mol_to_smiles(mol)
+
+
+def _pool_init(max_atoms: int, charges: frozenset) -> None:
+    global _FILTER
+    _FILTER = (max_atoms, charges)
 
 
 def main() -> None:
@@ -32,27 +60,22 @@ def main() -> None:
     ap.add_argument("--valid-frac", type=float, default=0.05)
     ap.add_argument("--test-frac", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="parser worker processes (the parse+canonicalize "
+                         "pass is the wall-clock at >=100k molecules)")
     args = ap.parse_args()
 
-    keep = []
-    charges = set(args.charges)
-    n_in = 0
-    for smi in read_smiles_file(args.input):
-        n_in += 1
-        try:
-            mol = mol_from_smiles(smi)
-        except Exception:
-            continue
-        if not mol.is_connected():
-            continue
-        if mol.n_atoms > args.max_atoms:
-            continue
-        if any(a.charge not in charges for a in mol.atoms):
-            continue
-        can = mol_to_smiles(mol)
-        if can:
-            keep.append(can)
-    keep = sorted(set(keep))
+    raw = list(read_smiles_file(args.input))
+    n_in = len(raw)
+    _pool_init(args.max_atoms, frozenset(args.charges))
+    if args.jobs > 1:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(args.jobs, initializer=_pool_init,
+                      initargs=_FILTER) as pool:
+            canon = pool.map(_filter_one, raw, chunksize=256)
+    else:
+        canon = [_filter_one(s) for s in raw]
+    keep = sorted({c for c in canon if c})
     random.Random(args.seed).shuffle(keep)
 
     n = len(keep)
