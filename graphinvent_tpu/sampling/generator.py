@@ -61,6 +61,8 @@ class SampleResult:
     actions: Optional[np.ndarray] = None   # (batch_size, L) action ids
     t_counts: Optional[np.ndarray] = None  # (batch_size,) actions per graph
     unpack_s: float = 0.0                  # host unpack + MolGraph wrap time
+    done: Optional[np.ndarray] = None      # 0/1; 0 only for phase-1-capped
+                                           # rows (two_phase.py stragglers)
 
     @property
     def graphs_per_s(self) -> float:
@@ -69,12 +71,23 @@ class SampleResult:
 
 def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
                  batch_size: int, apply_fn: Callable,
-                 mesh=None, fixed_rounds: Optional[int] = None
+                 mesh=None, fixed_rounds: Optional[int] = None,
+                 stop_round: Optional[int] = None,
+                 init_state: Optional[dict] = None
                  ) -> Tuple[jnp.ndarray, ...]:
     """``fixed_rounds``: run exactly that many action rounds via
     ``lax.fori_loop`` instead of the early-exit ``while_loop`` -- identical
     body; used by the sampler roofline (tools/roofline.py) where a static
-    trip count makes per-round cost attribution exact."""
+    trip count makes per-round cost attribution exact.
+
+    ``stop_round`` / ``init_state`` are the two-phase straggler-harvest
+    hooks (sampling/two_phase.py): phase 1 caps the while_loop at
+    ``stop_round`` rounds (rows still live then come back with done=0);
+    the continuation pass restarts the identical loop from ``init_state``
+    (the phase-1 carry for a compacted batch of live rows).  State
+    continuation, not resampling -- a row's action distribution is
+    unchanged, so the scheme is unbiased (BASELINE.md round-5 occupancy
+    study)."""
     B = batch_size
     N = cfg.max_n_nodes
     Fn = cfg.n_node_features
@@ -95,6 +108,12 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         term=jnp.zeros((B,), jnp.bool_),         # properly terminated
         rounds=jnp.zeros((), jnp.int32),
     )
+    if init_state is not None:
+        # continuation: resume frozen mid-build rows (fresh key + rounds=0;
+        # the t/ll/acts budget carries, so overflow invalidation still
+        # bounds every row)
+        init.update({k: jnp.asarray(v).astype(init[k].dtype)
+                     for k, v in init_state.items()})
     if mesh is not None:
         # data-parallel sampling: every batched loop-carry shards its batch
         # axis over ``data`` (rows are independent -- the whole rollout
@@ -108,7 +127,10 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
                 for k, v in init.items()}
 
     def cond(c):
-        return (~jnp.all(c["done"])) & (c["rounds"] < max_rounds)
+        live = (~jnp.all(c["done"])) & (c["rounds"] < max_rounds)
+        if stop_round is not None:
+            live = live & (c["rounds"] < stop_round)
+        return live
 
     def body(c):
         key, sub = jax.random.split(c["key"])
@@ -149,10 +171,11 @@ def _sample_loop(cfg: GraphInventConfig, params: Params, key: jax.Array,
         final = jax.lax.while_loop(cond, body, init)
     return (final["nodes"].astype(jnp.uint8), final["edges"].astype(jnp.uint8),
             final["n_nodes"], final["ll"], final["acts"],
-            final["term"].astype(jnp.uint8), final["t"], final["rounds"])
+            final["term"].astype(jnp.uint8), final["done"].astype(jnp.uint8),
+            final["t"], final["rounds"])
 
 
-def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t, rounds):
+def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, done, t, rounds):
     """Packs all sampler outputs into ONE uint8 buffer: device->host
     transfers pay a fixed ~tens-of-ms latency each on tunneled TPU setups,
     so a single fetch beats eight.  Graphs are 0/1, so node/edge tensors are
@@ -173,6 +196,7 @@ def _pack_outputs(nodes, edges, n_nodes, ll, acts, term, t, rounds):
         bits(nodes), bits(edges),
         n_nodes.astype(jnp.uint8)[:, None],
         term.astype(jnp.uint8)[:, None],
+        done.astype(jnp.uint8)[:, None],   # 0 => phase-1 straggler (r5)
         (t16 & 0xFF).astype(jnp.uint8)[:, None],
         (t16 >> 8).astype(jnp.uint8)[:, None],
         (acts16 & 0xFF).astype(jnp.uint8),
@@ -258,6 +282,7 @@ class GraphSampler:
         edges = take_bits(N * N * E).reshape(B, N, N, E).astype(np.float32)
         n_nodes = take(1)[:, 0].astype(np.int32)
         term = take(1)[:, 0].astype(np.int8)
+        done = take(1)[:, 0].astype(np.int8)
         t_lo = take(1)[:, 0].astype(np.uint16)
         t_hi = take(1)[:, 0].astype(np.uint16)
         t_count = (t_lo | (t_hi << 8)).astype(np.int32)
@@ -286,4 +311,4 @@ class GraphSampler:
                             properly_terminated=term.astype(np.int8),
                             n_rounds=int(rounds), elapsed_s=elapsed,
                             actions=acts, t_counts=t_count,
-                            unpack_s=unpack_s)
+                            unpack_s=unpack_s, done=done)

@@ -251,13 +251,14 @@ def test_pack_unpack_roundtrip_exact():
     ll = rng.normal(size=(B, L)).astype(np.float32)
     acts = rng.integers(0, 60000, (B, L)).astype(np.int32)
     term = rng.integers(0, 2, B).astype(np.uint8)
+    done = rng.integers(0, 2, B).astype(np.uint8)
     t = rng.integers(0, 700, B).astype(np.int32)   # > 255: exercises hi byte
     rounds = jnp.asarray(517, jnp.int32)
 
     packed = np.asarray(_pack_outputs(
         jnp.asarray(nodes), jnp.asarray(edges), jnp.asarray(n_nodes),
         jnp.asarray(ll), jnp.asarray(acts), jnp.asarray(term),
-        jnp.asarray(t), rounds))
+        jnp.asarray(done), jnp.asarray(t), rounds))
 
     s = GraphSampler(cfg, B)
     res = s._decode_packed(packed, elapsed=0.0, quiet=True)
@@ -270,6 +271,111 @@ def test_pack_unpack_roundtrip_exact():
     np.testing.assert_array_equal(res.t_counts, t)
     np.testing.assert_array_equal(res.actions, acts)
     np.testing.assert_array_equal(res.properly_terminated, term)
+    np.testing.assert_array_equal(res.done, done)
     np.testing.assert_allclose(res.final_loglikelihoods, ll.sum(axis=1),
                                rtol=1e-6)
     assert res.n_rounds == 517
+
+
+class TestTwoPhase:
+    """Two-phase straggler harvest (sampling/two_phase.py): phase-1-capped
+    rollout + compacted continuation must reproduce the single-phase
+    sampler's semantics (round-5 occupancy study)."""
+
+    def test_uncapped_two_phase_is_byte_identical_to_single_phase(self):
+        # with the cap at max_rounds the phase-1 program IS the single
+        # -phase program (same RNG sequence), and no straggler exists
+        # (overflow invalidation bounds every row before max_rounds)
+        from graphinvent_tpu.sampling.two_phase import TwoPhaseSampler
+
+        cfg = _cfg()
+        params = init_model(cfg, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(7)
+        single = np.asarray(GraphSampler(cfg, 8)._jitted(
+            params, jax.random.fold_in(key, 0)))
+        tp = TwoPhaseSampler(cfg, 8, phase1_rounds=cfg.gen_action_budget + 4)
+        results, stats = tp.sample_many(params, key, n_batches=1)
+        assert stats["n_stragglers"] == 0
+        assert stats["n_continuation"] == 0
+        got = np.asarray(tp._p1(params, jax.random.fold_in(key, 0)))
+        np.testing.assert_array_equal(got, single)
+        assert all(bool(d) for d in results[0].done)
+
+    def test_forced_continuation_completes_all_rows(self):
+        # an "always add to node 0" stub builds every row for exactly
+        # max_n_nodes rounds (then the over-full add invalidates), so a
+        # 2-round cap strands ALL rows and the deterministic actions make
+        # the two-phase result comparable field-by-field to single-phase
+        from graphinvent_tpu.sampling.two_phase import TwoPhaseSampler
+
+        cfg = _cfg()
+
+        def always_add(params, nodes, edges):
+            logits = jnp.full((nodes.shape[0], cfg.dim_apd), -30.0,
+                              jnp.float32)
+            return logits.at[:, 0].set(30.0)
+
+        key = jax.random.PRNGKey(3)
+        B, n_batches, R = 6, 2, 2
+        tp = TwoPhaseSampler(cfg, B, phase1_rounds=R, apply_fn=always_add)
+        results, stats = tp.sample_many({}, key, n_batches=n_batches)
+        assert stats["n_stragglers"] == n_batches * B      # everyone straggles
+        assert stats["n_continuation"] == 2                # 12 rows, B=6
+        assert len(results) == n_batches
+        L = cfg.gen_action_budget
+        for b, res in enumerate(results):
+            ref = GraphSampler(cfg, B, apply_fn=always_add).sample(
+                {}, jax.random.fold_in(key, b), quiet=True)
+            assert len(res.graphs) == B
+            assert all(bool(d) for d in res.done)          # all completed
+            assert (res.t_counts <= L).all()
+            np.testing.assert_array_equal(res.t_counts, ref.t_counts)
+            np.testing.assert_array_equal(res.actions, ref.actions)
+            np.testing.assert_array_equal(res.properly_terminated,
+                                          ref.properly_terminated)
+            np.testing.assert_allclose(res.final_loglikelihoods,
+                                       ref.final_loglikelihoods, rtol=1e-6)
+            for g, h in zip(res.graphs, ref.graphs):
+                np.testing.assert_array_equal(g.node_features,
+                                              h.node_features)
+                np.testing.assert_array_equal(g.edge_features,
+                                              h.edge_features)
+
+    def test_real_model_stragglers_complete(self):
+        # real (untrained) model, cap 1: rows whose first sampled action is
+        # a valid add keep building past the cap and exercise the
+        # continuation path with non-deterministic state
+        from graphinvent_tpu.sampling.two_phase import TwoPhaseSampler
+
+        cfg = _cfg()
+        params = init_model(cfg, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(5)
+        B = 32
+        tp = TwoPhaseSampler(cfg, B, phase1_rounds=1)
+        results, stats = tp.sample_many(params, key, n_batches=1)
+        assert stats["n_stragglers"] > 0
+        res = results[0]
+        assert all(bool(d) for d in res.done)
+        # continued rows took more actions than the cap
+        assert int(res.t_counts.max()) > 1
+
+    def test_phase1_complete_rows_unchanged_by_continuation(self):
+        from graphinvent_tpu.sampling.two_phase import TwoPhaseSampler
+
+        cfg = _cfg()
+        params = init_model(cfg, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(11)
+        B, R = 8, 4
+        tp = TwoPhaseSampler(cfg, B, phase1_rounds=R)
+        raw = np.asarray(tp._p1(params, jax.random.fold_in(key, 0)))
+        d0, _ = tp._off["done"]
+        results, _ = tp.sample_many(params, key, n_batches=1)
+        ref = GraphSampler(cfg, B).sample(params, jax.random.fold_in(key, 0),
+                                          quiet=True)
+        for i in np.nonzero(raw[:, d0] == 1)[0]:
+            # finished inside the cap: final state must equal single-phase
+            assert results[0].t_counts[i] == ref.t_counts[i]
+            np.testing.assert_array_equal(results[0].actions[i],
+                                          ref.actions[i])
+            np.testing.assert_allclose(results[0].final_loglikelihoods[i],
+                                       ref.final_loglikelihoods[i], rtol=1e-6)
