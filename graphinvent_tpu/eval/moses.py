@@ -52,15 +52,11 @@ from graphinvent_tpu.chem.smiles import mol_from_smiles, mol_to_smiles
 # ==========================================================================
 
 def read_smi(path: str) -> List[str]:
-    """Reads a .smi file (optional ``SMILES`` header line)."""
-    out: List[str] = []
-    with open(path) as fh:
-        for line in fh:
-            s = line.strip().split()[0] if line.strip() else ""
-            if not s or s == "SMILES":
-                continue
-            out.append(s)
-    return out
+    """Reads a .smi file (optional ``SMILES`` header line) -- the same
+    reader the preprocessing layer uses, so scoring and dataset creation
+    cannot diverge on format handling."""
+    from graphinvent_tpu.data.preprocess import read_smiles_file
+    return read_smiles_file(path)
 
 
 def canonicalize(smiles: str) -> Optional[str]:
@@ -166,29 +162,37 @@ def scaffolds_all(canon: Sequence[Optional[str]], n_jobs: int = 0,
 # Internal diversity (Morgan-Tanimoto Gram matrix, jax-blocked)
 # ==========================================================================
 
-def internal_diversity(fps: np.ndarray, p: int = 1,
-                       block: int = 2048) -> float:
-    """IntDiv_p = 1 - (mean_{i,j} T(f_i, f_j)^p)^(1/p), diagonal included
-    (the MOSES ``internal_diversity`` average).  ``fps`` is (n, bits) of
-    {0,1}; the Gram matrix runs as jax matmuls in row blocks of ``block``
-    so a 10k-molecule set is a few hundred ms on TPU (and tractable on
-    CPU: ~2e11 flops at 10k x 2048)."""
+def internal_diversity_both(fps: np.ndarray,
+                            block: int = 2048) -> Tuple[float, float]:
+    """(IntDiv_1, IntDiv_2) in ONE pass over the Tanimoto Gram matrix --
+    the matrix is the suite's dominant cost (~2e11 flops at 10k x 2048),
+    so both power means share it.  IntDiv_p = 1 - (mean_{i,j} T^p)^(1/p),
+    diagonal included (the MOSES ``internal_diversity`` average); ``fps``
+    is (n, bits) of {0,1}, evaluated as jax matmuls in row blocks of
+    ``block`` (sub-second on TPU, minutes-scale on CPU at 10k)."""
     import jax.numpy as jnp
 
     n = int(fps.shape[0])
     if n == 0:
-        return 0.0
+        return 0.0, 0.0
     f = jnp.asarray(fps, dtype=jnp.float32)
     counts = f.sum(axis=1)
-    total = 0.0
+    tot1 = tot2 = 0.0
     for s in range(0, n, block):
         blk = f[s:s + block]
         inter = blk @ f.T
         union = counts[s:s + block, None] + counts[None, :] - inter
         t = jnp.where(union > 0, inter / union, 0.0)
-        total += float((t ** p).sum())
-    mean = total / (n * n)
-    return float(1.0 - mean ** (1.0 / p))
+        tot1 += float(t.sum())
+        tot2 += float((t ** 2).sum())
+    return (float(1.0 - tot1 / (n * n)),
+            float(1.0 - (tot2 / (n * n)) ** 0.5))
+
+
+def internal_diversity(fps: np.ndarray, p: int = 1,
+                       block: int = 2048) -> float:
+    """Single-p convenience wrapper over :func:`internal_diversity_both`."""
+    return internal_diversity_both(fps, block)[0 if p == 1 else 1]
 
 
 # ==========================================================================
@@ -203,18 +207,39 @@ def wasserstein1(a: np.ndarray, b: np.ndarray, n_q: int = 1001) -> float:
     return float(np.mean(np.abs(np.quantile(a, qs) - np.quantile(b, qs))))
 
 
-def _property_rows(canon: Sequence[str]) -> np.ndarray:
-    """(n, 4) float rows: MW, ALogP, QED, TPSA per canonical SMILES."""
+def _props_worker(smiles: str):
+    """One parse -> (passes_filters, MW, ALogP, QED, TPSA); None on a
+    failed parse.  Pool-friendly so the 10k-sample property pass shares
+    the canonicalization pool's parallelism instead of re-parsing
+    serially."""
     from graphinvent_tpu.chem.descriptors import (alogp, mol_weight, qed,
-                                                  tpsa)
-    rows = np.zeros((len(canon), 4))
-    for k, s in enumerate(canon):
-        try:
-            mol = mol_from_smiles(s)
-        except Exception:
-            continue
-        rows[k] = (mol_weight(mol), alogp(mol), qed(mol), tpsa(mol))
-    return rows
+                                                  structural_alerts, tpsa)
+    try:
+        mol = mol_from_smiles(smiles)
+        return (int(structural_alerts(mol) == 0), mol_weight(mol),
+                alogp(mol), qed(mol), tpsa(mol))
+    except Exception:
+        return None
+
+
+def _fp_worker(smiles: str):
+    """One parse -> bit-packed 2048-bit Morgan fingerprint (256 bytes --
+    cheap to ship back from a pool worker); None on a failed parse."""
+    from graphinvent_tpu.chem.fingerprint import morgan_fingerprint
+    try:
+        fp = morgan_fingerprint(mol_from_smiles(smiles))
+        return np.packbits(fp.astype(np.uint8)).tobytes()
+    except Exception:
+        return None
+
+
+def _pool_map(worker, items: Sequence[str], n_jobs: int,
+              chunksize: int = 128) -> list:
+    if n_jobs and n_jobs > 1 and len(items) > 4 * chunksize:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n_jobs) as pool:
+            return pool.map(worker, items, chunksize=chunksize)
+    return [worker(s) for s in items]
 
 
 # ==========================================================================
@@ -232,7 +257,12 @@ def compute_metrics(gen_smiles: Sequence[str],
     (and optionally held-out test) set.  IntDiv and the property marginals
     run on seeded samples of at most ``n_intdiv`` / ``n_props`` molecules
     (MOSES computes IntDiv on the full 30k set with a GPU; the cap is a
-    wall-clock guard for CPU runs -- set it >= len(gen) to disable)."""
+    wall-clock guard for CPU runs -- set it >= len(gen) to disable).
+
+    Ordering constraint: every fork-pool pass (canonicalization,
+    scaffolds, property/fingerprint parsing) runs BEFORE the jax-backed
+    IntDiv -- forking after jax initializes its threadpools deadlocks the
+    children."""
     rng = np.random.default_rng(seed)
 
     gen_canon = canonicalize_all(gen_smiles, n_jobs)
@@ -252,6 +282,13 @@ def compute_metrics(gen_smiles: Sequence[str],
     train_set = {c for c in train_canon if c is not None}
     out["novelty"] = (sum(1 for c in uniq if c not in train_set) / len(uniq)
                       if uniq else 0.0)
+    ref_canon = sorted(train_set)
+    if test_smiles is not None:
+        test_canon = canonicalize_all(test_smiles, n_jobs)
+        ref_canon = sorted({c for c in test_canon if c is not None})
+    if len(ref_canon) > n_props:
+        ref_canon = [ref_canon[i] for i in
+                     rng.choice(len(ref_canon), n_props, replace=False)]
 
     # scaffolds: generated-unique scaffold pool vs the training pool
     gen_scafs = [s for s in scaffolds_all(uniq, n_jobs) if s is not None]
@@ -264,50 +301,39 @@ def compute_metrics(gen_smiles: Sequence[str],
                                    if s not in train_scaf_set) / len(scaf_uniq)
                                if scaf_uniq else 0.0)
 
-    # filters: zero QED structural alerts
-    from graphinvent_tpu.chem.descriptors import structural_alerts
-    n_pass = 0
+    # seeded samples; each SMILES is parsed exactly once, in the pool
     props_sample = list(valid)
     if len(props_sample) > n_props:
         props_sample = [props_sample[i] for i in
                         rng.choice(len(props_sample), n_props, replace=False)]
-    for s in props_sample:
-        try:
-            if structural_alerts(mol_from_smiles(s)) == 0:
-                n_pass += 1
-        except Exception:
-            pass
-    out["pass_filters"] = n_pass / len(props_sample) if props_sample else 0.0
-
-    # IntDiv over a seeded sample of the valid set
     int_sample = list(valid)
     if len(int_sample) > n_intdiv:
         int_sample = [int_sample[i] for i in
                       rng.choice(len(int_sample), n_intdiv, replace=False)]
-    if int_sample:
-        from graphinvent_tpu.chem.fingerprint import bulk_fingerprints
-        mols = []
-        for s in int_sample:
-            try:
-                mols.append(mol_from_smiles(s))
-            except Exception:
-                mols.append(None)
-        fps = bulk_fingerprints(mols)
-        out["int_div_1"] = internal_diversity(fps, p=1)
-        out["int_div_2"] = internal_diversity(fps, p=2)
-    else:
-        out["int_div_1"] = out["int_div_2"] = 0.0
+
+    gen_rows = np.array([r for r in _pool_map(_props_worker, props_sample,
+                                              n_jobs) if r is not None])
+    ref_rows = np.array([r for r in _pool_map(_props_worker, ref_canon,
+                                              n_jobs) if r is not None])
+    fp_bytes = [b for b in _pool_map(_fp_worker, int_sample, n_jobs)
+                if b is not None]
+
+    # filters: zero QED structural alerts (column 0 of the property rows)
+    out["pass_filters"] = (float(gen_rows[:, 0].mean())
+                           if len(gen_rows) else 0.0)
 
     # property marginals vs the held-out split (train as fallback)
-    ref_canon = sorted(train_set)
-    if test_smiles is not None:
-        test_canon = canonicalize_all(test_smiles, n_jobs)
-        ref_canon = sorted({c for c in test_canon if c is not None})
-    if len(ref_canon) > n_props:
-        ref_canon = [ref_canon[i] for i in
-                     rng.choice(len(ref_canon), n_props, replace=False)]
-    gen_rows = _property_rows(props_sample)
-    ref_rows = _property_rows(ref_canon)
-    for col, name in enumerate(("mw", "alogp", "qed", "tpsa")):
-        out[f"w1_{name}"] = wasserstein1(gen_rows[:, col], ref_rows[:, col])
+    for col, name in enumerate(("mw", "alogp", "qed", "tpsa"), start=1):
+        out[f"w1_{name}"] = wasserstein1(
+            gen_rows[:, col] if len(gen_rows) else np.empty(0),
+            ref_rows[:, col] if len(ref_rows) else np.empty(0))
+
+    # IntDiv last (jax): one Gram-matrix pass for both power means
+    if fp_bytes:
+        fps = np.unpackbits(
+            np.frombuffer(b"".join(fp_bytes), np.uint8).reshape(
+                len(fp_bytes), -1), axis=1).astype(np.float32)
+        out["int_div_1"], out["int_div_2"] = internal_diversity_both(fps)
+    else:
+        out["int_div_1"] = out["int_div_2"] = 0.0
     return out

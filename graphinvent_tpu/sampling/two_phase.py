@@ -127,10 +127,13 @@ class TwoPhaseSampler:
     def sample_many(self, params: Params, key: jax.Array, n_batches: int,
                     quiet: bool = True) -> Tuple[List[SampleResult], dict]:
         """``n_batches`` batches; returns per-batch SampleResults (same
-        contract as ``GraphSampler.sample`` per batch, elapsed_s amortized)
-        and a stats dict (straggler count, continuation batches, wall)."""
+        contract as ``GraphSampler.sample`` per batch, elapsed_s amortized;
+        ``n_rounds`` reports the PHASE-1 rounds for the batch -- per-row
+        work lives in ``t_counts``) and a stats dict (straggler count,
+        continuation batches, wall)."""
         B = self.batch_size
         d0, d1 = self._off["done"]
+        r0, r1 = self._off["rounds"]
         t0 = time.time()
 
         buffers: List[np.ndarray] = []
@@ -156,7 +159,12 @@ class TwoPhaseSampler:
                 params, jax.random.fold_in(key, n_batches + n_cont),
                 jnp.asarray(rows)))
             for k, (b, i) in enumerate(take):
+                rounds_bytes = buffers[b][i, r0:r1].copy()
                 buffers[b][i] = out[k]
+                # keep the batch-uniform phase-1 rounds field: the decoder
+                # reads n_rounds from row 0, and the continuation program's
+                # own (restarted) counter is not this batch's round count
+                buffers[b][i, r0:r1] = rounds_bytes
             n_cont += 1
 
         wall = time.time() - t0
@@ -165,7 +173,7 @@ class TwoPhaseSampler:
                    for buf in buffers]
         stats = dict(n_stragglers=n_straggler, n_continuation=n_cont,
                      wall_s=wall,
-                     straggler_frac=n_straggler / (n_batches * B))
+                     straggler_frac=n_straggler / max(n_batches * B, 1))
         return results, stats
 
     # decode reuse: GraphSampler._decode_packed only touches cfg/batch_size

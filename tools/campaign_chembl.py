@@ -13,11 +13,12 @@ nothing here is special-cased for the campaign.
         [--n 6000] [--min-atoms 25] [--max-atoms 40] [--shards 4] \
         [--epochs 40] [--model GGNN] [--n-generate 30000] [--stage all]
 
-Stages: data, preprocess, train, generate, test.  data/preprocess/train/
-generate skip automatically when their outputs already exist (dataset
-splits, train.h5, the final checkpoint, the last generation batch), so an
-interrupted campaign resumes; the test stage always re-runs (cheap, and
-its scores are the final artifact).
+Stages: data, preprocess, train, generate, test, score.  data/preprocess/
+train/generate skip automatically when their outputs already exist
+(dataset splits, train.h5, the final checkpoint, the last generation
+batch), so an interrupted campaign resumes; test and score always re-run
+(cheap relative to train/generate, and their outputs -- validation.log
+scores and moses_metrics.json -- are the campaign's final artifacts).
 Results land in <root>/jobs/train-<model>/ (generation.log, test .log,
 checkpoints) -- the numbers recorded in BASELINE.md "Round 3".
 """

@@ -61,11 +61,14 @@ def main() -> None:
     for k, v in metrics.items():
         print(f"  {k:22s} {v:.4f}" if isinstance(v, float) else
               f"  {k:22s} {v}")
+    # NaN (empty gen/ref marginals) is not valid JSON -- write null
+    clean = {k: (None if isinstance(v, float) and v != v else
+                 round(v, 4) if isinstance(v, float) else v)
+             for k, v in metrics.items()}
     if args.out:
         with open(args.out, "w") as fh:
-            json.dump(metrics, fh, indent=1)
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in metrics.items()}))
+            json.dump(clean, fh, indent=1)
+    print(json.dumps(clean))
 
 
 if __name__ == "__main__":

@@ -296,12 +296,12 @@ def measure_sampler(cfg, n_rounds: int = 16, seed: int = 0,
     # latency only (measured: 0.045 "ms/round" at N=40 vs 6.1 ms real —
     # a 264% "MFU").  Fetching a real output forces a true sync.
     out = fn(params, key)
-    np.asarray(out[6])                       # t: (B,) int32 — small fetch
+    np.asarray(out[7])                       # t: (B,) int32 — small fetch
     times = []
     for r in range(max(1, n_repeats)):
         t0 = time.time()
         out = fn(params, jax.random.fold_in(key, r))
-        np.asarray(out[6])                   # sync via small value fetch
+        np.asarray(out[7])                   # sync via small value fetch
         times.append((time.time() - t0) / n_rounds)
     return dict(
         round_time_s=float(np.median(times)),
