@@ -129,6 +129,13 @@ class GraphInventConfig:
     # batch k+1's upload onto a worker thread while batch k computes
     stream_packed: bool = True
     stream_upload_ahead: bool = True
+    # sparse APD targets on the streamed wire: fixed-width (index, value)
+    # slots per row (the dense int8 APD row was ~70% of the packed upload
+    # bytes; measured max 8 nonzeros/row on the 100k ChEMBL-proxy set).
+    # Batches where a row exceeds the cap fall back to the dense wire
+    # automatically; 0 disables.  Also bounds the host RSS the leaky axon
+    # tunnel client retains per upload (docs/9 round 5).
+    stream_apd_nnz: int = 32
     # inference forwards route the stacked edge-type ENN through the fused
     # Pallas kernel (models/fused_enn.py) on single-device TPU: the XLA
     # path writes every (E,B,N,250) hidden layer to HBM, the kernel keeps
@@ -145,9 +152,22 @@ class GraphInventConfig:
     weights_initialization: str = "uniform"
     model: str = "GGNN"
     sample_every: int = 10
+    # chunked-restart support: when resuming (restart=True) with epochs set
+    # to the REMAINING chunk, set this to the original total so the
+    # OneCycle LR plan keeps its shape (0 = use epochs).  Needed when one
+    # process cannot carry a whole run -- e.g. the axon tunnel client
+    # retains every host->device staging buffer (~uploaded bytes of host
+    # RSS; docs/9 round 5), so >HBM streamed runs chunk across processes.
+    schedule_epochs: int = 0
     generation_epoch: int = 30
     n_samples: int = 2000
     n_workers: int = 2
+    # two-phase straggler harvest for generate jobs (sampling/two_phase.py):
+    # cap phase-1 at this many rounds and resume live rows in compacted
+    # continuation batches.  0 = off (the default; worthwhile only at
+    # long-tail dims -- see the round-5 occupancy table, e.g. 57 at N=80).
+    # Single-host, unmeshed jobs only; ignored otherwise.
+    gen_two_phase_rounds: int = 0
     seed: int = 0
     # activation compute dtype: bfloat16 is the production default (matmuls
     # run at the MXU's full rate with f32 accumulation; losses/optimizer stay

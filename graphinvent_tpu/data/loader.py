@@ -65,6 +65,36 @@ def pack_rows(a: np.ndarray) -> np.ndarray:
     return np.packbits(np.ascontiguousarray(a).reshape(B, -1), axis=1)
 
 
+def sparse_apds(apds: np.ndarray, cap: int
+                ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """APD target rows -> fixed-width (indices uint16, values int8) pairs,
+    or None when any row carries more than ``cap`` nonzeros (caller falls
+    back to the dense wire for that batch).
+
+    APD rows are extremely sparse -- a decoding step targets one action
+    (plus duplicate-subgraph merges, DataProcesser.py:207-231): measured
+    max 8 nonzeros over 200k rows of the round-5 100k-molecule set -- yet
+    the dense int8 row (dim_apd bytes, e.g. 2561 at N=40) dominated the
+    streamed upload at ~70% of the wire bytes.  32 slots x 3 bytes is a
+    ~27x cut on that component.  Reconstruction on device is a scatter-add
+    (train/step.batch_arrays), so padded (0, 0) slots are exact no-ops and
+    the loss trajectory is byte-identical to the dense wire."""
+    B, A = apds.shape
+    if A > np.iinfo(np.uint16).max:
+        return None
+    nz_b, nz_j = np.nonzero(apds)
+    counts = np.bincount(nz_b, minlength=B)
+    if len(nz_b) and counts.max() > cap:
+        return None
+    idx = np.zeros((B, cap), np.uint16)
+    val = np.zeros((B, cap), apds.dtype)
+    pos = np.arange(len(nz_b)) - np.repeat(np.cumsum(counts) - counts,
+                                           counts)
+    idx[nz_b, pos] = nz_j
+    val[nz_b, pos] = apds[nz_b, nz_j]
+    return idx, val
+
+
 class BlockLoader:
     """Iterates fixed-shape batches over an :class:`HDFDataset`."""
 
@@ -72,7 +102,7 @@ class BlockLoader:
                  block_size: int, shuffle: bool = True, seed: int = 0,
                  shard_index: int = 0, num_shards: int = 1,
                  drop_last: bool = False, prefetch: bool = True,
-                 packed: bool = False) -> None:
+                 packed: bool = False, apd_nnz: int = 0) -> None:
         if block_size < batch_size:
             raise ValueError("block_size must be >= batch_size "
                              "(reference: BlockDatasetLoader.py:85)")
@@ -87,8 +117,12 @@ class BlockLoader:
         self.prefetch = prefetch
         # packed: yield the bitpacked wire format ("nodes_p"/"edges_p"
         # uint8 + int8 "apds") instead of float32 tensors -- ~8x smaller
-        # host->device uploads; the jitted steps unpack on device
+        # host->device uploads; the jitted steps unpack on device.
+        # apd_nnz > 0 additionally ships APD targets sparse ("apds_i"/
+        # "apds_v", see sparse_apds) with automatic per-batch dense
+        # fallback on overflow
         self.packed = packed
+        self.apd_nnz = apd_nnz
         self._epoch = 0
 
     # ------------------------------------------------------------------
@@ -167,9 +201,15 @@ class BlockLoader:
                 valid = np.zeros(bs, np.float32)
                 valid[:n_valid] = 1.0
                 if self.packed:
-                    yield {"nodes_p": pack_rows(nodes),
-                           "edges_p": pack_rows(edges),
-                           "apds": apds, "valid": valid}
+                    out = {"nodes_p": pack_rows(nodes),
+                           "edges_p": pack_rows(edges), "valid": valid}
+                    sp = (sparse_apds(apds, self.apd_nnz)
+                          if self.apd_nnz else None)
+                    if sp is not None:
+                        out["apds_i"], out["apds_v"] = sp
+                    else:
+                        out["apds"] = apds
+                    yield out
                 else:
                     yield {"nodes": nodes, "edges": edges, "apds": apds,
                            "valid": valid}

@@ -46,8 +46,18 @@ def batch_arrays(cfg: GraphInventConfig, batch: Batch, compute_dtype
     else:
         nodes = batch["nodes"].astype(compute_dtype)
         edges = batch["edges"].astype(compute_dtype)
-    return (nodes, edges, batch["apds"].astype(jnp.float32),
-            batch.get("valid"))
+    if "apds_i" in batch:
+        # sparse APD wire (data/loader.sparse_apds): fixed-width
+        # (index, value) slots -> dense targets by scatter-add; padded
+        # (0, 0) slots add zero at column 0, so reconstruction is exact
+        idx = batch["apds_i"].astype(jnp.int32)
+        val = batch["apds_v"].astype(jnp.float32)
+        B = idx.shape[0]
+        apds = jnp.zeros((B, cfg.dim_apd), jnp.float32)
+        apds = apds.at[jnp.arange(B)[:, None], idx].add(val)
+    else:
+        apds = batch["apds"].astype(jnp.float32)
+    return nodes, edges, apds, batch.get("valid")
 
 
 def make_train_step(cfg: GraphInventConfig, schedule: OneCycle

@@ -316,13 +316,15 @@ class Workflow:
             # (BlockDatasetLoader.py:135-143 + Workflow.py:781-783); the
             # jitted steps unpack on device (train/step.py batch_arrays)
             packed = bool(cfg.stream_packed)
+            apd_nnz = cfg.stream_apd_nnz if packed else 0
             train_loader = BlockLoader(train_ds, local_bs,
                                        cfg.block_size, seed=cfg.seed,
-                                       packed=packed, **shard_kw)
+                                       packed=packed, apd_nnz=apd_nnz,
+                                       **shard_kw)
             valid_loader = BlockLoader(valid_ds, local_bs,
                                        cfg.block_size, shuffle=False,
                                        seed=cfg.seed, packed=packed,
-                                       **shard_kw)
+                                       apd_nnz=apd_nnz, **shard_kw)
             if multi_device:
                 from graphinvent_tpu.parallel import (
                     make_mesh, make_sharded_train_step,
@@ -603,8 +605,28 @@ class Workflow:
         else:
             params, epoch = self._load_model_for_inference(cfg.generation_epoch)
         batch = min(cfg.batch_size, cfg.n_samples)
-        sampler = self._get_sampler(batch)
         n_batches = (cfg.n_samples + batch - 1) // batch
+        two_phase = (cfg.gen_two_phase_rounds > 0
+                     and jax.process_count() == 1
+                     and self._sampler_mesh() is None)
+        if two_phase:
+            from graphinvent_tpu.sampling.two_phase import TwoPhaseSampler
+            sampler = TwoPhaseSampler(cfg, batch,
+                                      phase1_rounds=cfg.gen_two_phase_rounds)
+
+            def batches(sampler, params, n_batches, key_for):
+                # windows of 4: stragglers compact across a window's
+                # batches while the host worker analyzes finished ones
+                W = 4
+                for start in range(0, n_batches, W):
+                    results, _ = sampler.sample_many(
+                        params, key_for(start), min(W, n_batches - start),
+                        quiet=False)
+                    for j, res in enumerate(results):
+                        yield start + j, res
+        else:
+            sampler = self._get_sampler(batch)
+            batches = self._global_sample_batches
         analyzer = None
         if primary:
             ts_props = self._load_ts_properties()
@@ -617,7 +639,7 @@ class Workflow:
         # queueing adds latency (docs/9).  The worker thread still hides
         # all host chemistry.
         with ThreadPoolExecutor(max_workers=1) as pool:
-            for k, res in self._global_sample_batches(
+            for k, res in batches(
                     sampler, params, n_batches,
                     lambda k: jax.random.fold_in(self.key, k)):
                 if pending is not None:

@@ -299,3 +299,25 @@ def test_packed_loader_roundtrips_exactly(dataset_dir):
         np.testing.assert_array_equal(np.asarray(edges), p["edges"])
         np.testing.assert_array_equal(np.asarray(apds), p["apds"])
         np.testing.assert_array_equal(np.asarray(valid), p["valid"])
+    # sparse APD wire (round 5): identical reconstruction, ~27x smaller
+    # APD component
+    sparse = list(BlockLoader(ds, 7, 20, seed=0, packed=True, apd_nnz=32))
+    for p, q in zip(plain, sparse):
+        assert set(q) == {"nodes_p", "edges_p", "apds_i", "apds_v", "valid"}
+        assert q["apds_i"].nbytes + q["apds_v"].nbytes < p["apds"].nbytes / 8
+        _, _, apds, _ = batch_arrays(
+            cfg, {k: jnp.asarray(v) for k, v in q.items()}, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(apds), p["apds"])
+
+
+def test_sparse_apds_overflow_falls_back_dense():
+    from graphinvent_tpu.data.loader import sparse_apds
+
+    apds = np.zeros((4, 100), np.int8)
+    apds[0, :5] = 3
+    idx, val = sparse_apds(apds, 8)
+    rebuilt = np.zeros_like(apds)
+    np.add.at(rebuilt, (np.repeat(np.arange(4), 8).reshape(4, 8), idx), val)
+    np.testing.assert_array_equal(rebuilt, apds)
+    apds[1, :9] = 1                      # 9 nonzeros > cap 8
+    assert sparse_apds(apds, 8) is None

@@ -119,6 +119,15 @@ def test_full_job_cycle(job_env):
     gen_dir = os.path.join(job_dir, "generation")
     assert any(f.endswith(".smi") for f in os.listdir(gen_dir))
 
+    # 4b. generate with the two-phase straggler harvest: identical file
+    # contract (same batch files, same row counts), all rows complete
+    smi_rows = len(open(os.path.join(gen_dir,
+                                     "epoch_2_gen0.smi")).readlines())
+    Workflow(_cfg(job_env, job_type="generate",
+                  gen_two_phase_rounds=3)).run()
+    assert len(open(os.path.join(gen_dir, "epoch_2_gen0.smi"))
+               .readlines()) == smi_rows
+
     # 5. test
     Workflow(_cfg(job_env, job_type="test")).run()
     val = open(os.path.join(job_dir, "validation.log")).read()
