@@ -376,6 +376,12 @@ bool parse_smiles(const std::string& smiles, Mol* mol,
   bool any_arom = false;
   for (auto& a : mol->atoms) any_arom |= a.aromatic;
   if (kekulize_mol && any_arom && !kekulize(mol)) return false;
+  if (!kekulize_mol && any_arom) {
+    // aromatic-mode parse keeps type-3 bonds, but validity still requires
+    // a kekule structure to exist (mirror of molecule.sanitize)
+    Mol kek = *mol;
+    if (!kekulize(&kek)) return false;
+  }
   return sanitize_ok(*mol);
 }
 
@@ -1484,6 +1490,18 @@ int mk_decode_batch(const int8_t* nodes_in, const int8_t* edges_in,
                         chirality_none_idx, &mol))
       return;  // molecule is None: invalid, SMILES None
     validity_out[i] = sanitize_ok(mol) ? 1 : 0;
+    // aromatic systems must admit a kekule structure (mirror of
+    // molecule.sanitize: RDKit rejects un-kekulizable aromatics; generated
+    // graphs in use_aromatic_bonds mode can place type-3 bonds freely)
+    if (validity_out[i]) {
+      bool has_arom = false;
+      for (auto& [a, b, t] : mol.bonds)
+        if (t == 3) { has_arom = true; break; }
+      if (has_arom) {
+        Mol kek = mol;
+        if (!kekulize(&kek)) validity_out[i] = 0;
+      }
+    }
     std::string s;
     if (mol_to_smiles(mol, &s) && (int)s.size() < smi_cap)
       std::memcpy(smi, s.c_str(), s.size() + 1);

@@ -180,6 +180,16 @@ class Molecule:
                 if tot > max(vals):
                     raise SanitizeError(
                         f"atom {i} total valence {tot} exceeds maximum {max(vals)}")
+        # aromatic systems must admit a kekule structure: RDKit's sanitize
+        # rejects un-kekulizable aromatic mols, and generated graphs in
+        # use_aromatic_bonds mode can place aromatic bonds freely (round-5
+        # 100k campaign: 8.8% of a generated batch was valence-valid but
+        # non-kekulizable, silently inflating fraction_valid vs the
+        # reference's RDKit-based count).  Checked on a copy; mirrored in
+        # csrc/molkit.cc decode_row/parse_smiles.
+        if any(t == 3 for t in self._bonds.values()):
+            from graphinvent_tpu.chem.smiles import kekulize
+            kekulize(self.copy())      # raises SanitizeError on failure
 
     def is_valid(self) -> bool:
         try:

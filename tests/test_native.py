@@ -274,3 +274,46 @@ def test_native_decode_gdb13_roundtrip():
     for s in out_smiles:
         assert s is not None
         assert mol_to_smiles(mol_from_smiles(s)) == s
+
+
+def test_non_kekulizable_aromatic_graph_invalid_both_paths():
+    """A generated graph can place aromatic bonds freely; a system with no
+    kekule structure (5-ring of neutral aromatic carbons: five pi-needing
+    atoms, odd matching) must be INVALID in both the Python and native
+    validity paths -- RDKit's sanitize rejects it, and before round 5 both
+    paths accepted it (8.8% of a 100k-campaign batch was valence-valid but
+    non-kekulizable, inflating fraction_valid)."""
+    cfg = preset("GGNN", use_aromatic_bonds=True)
+    N, Fn, E = cfg.max_n_nodes, cfg.n_node_features, cfg.n_edge_features
+    nodes = np.zeros((1, N, Fn), np.int8)
+    edges = np.zeros((1, N, N, E), np.int8)
+    c_idx = cfg.atom_types.index("C")
+    q0 = cfg.n_atom_types + cfg.formal_charge.index(0)
+    for v in range(5):
+        nodes[0, v, c_idx] = 1
+        nodes[0, v, q0] = 1
+        w = (v + 1) % 5
+        edges[0, v, w, 3] = edges[0, w, v, 3] = 1      # aromatic ring bond
+    n_nodes = np.asarray([5], np.int32)
+
+    g = MolGraph(cfg, nodes[0], edges[0], 5)
+    assert not g.is_valid()
+    out = native_decode_batch(nodes, edges, n_nodes, cfg)
+    if out is not None:                                 # native lib present
+        validity, smiles = out
+        assert validity[0] == 0
+
+    # benzene through the same tensors stays valid (the check must not
+    # reject legitimate aromatic systems)
+    nodes6 = np.zeros((1, N, Fn), np.int8)
+    edges6 = np.zeros((1, N, N, E), np.int8)
+    for v in range(6):
+        nodes6[0, v, c_idx] = 1
+        nodes6[0, v, q0] = 1
+        w = (v + 1) % 6
+        edges6[0, v, w, 3] = edges6[0, w, v, 3] = 1
+    g6 = MolGraph(cfg, nodes6[0], edges6[0], 6)
+    assert g6.is_valid()
+    out6 = native_decode_batch(nodes6, edges6, np.asarray([6], np.int32), cfg)
+    if out6 is not None:
+        assert out6[0][0] == 1
