@@ -376,11 +376,19 @@ bool parse_smiles(const std::string& smiles, Mol* mol,
   bool any_arom = false;
   for (auto& a : mol->atoms) any_arom |= a.aromatic;
   if (kekulize_mol && any_arom && !kekulize(mol)) return false;
-  if (!kekulize_mol && any_arom) {
+  if (!kekulize_mol) {
     // aromatic-mode parse keeps type-3 bonds, but validity still requires
-    // a kekule structure to exist (mirror of molecule.sanitize)
-    Mol kek = *mol;
-    if (!kekulize(&kek)) return false;
+    // a kekule structure to exist.  Trigger on aromatic BONDS, exactly
+    // like the Python mirror (molecule.sanitize checks `t == 3`): an
+    // aromatic-flagged atom with no aromatic bond (degenerate input like
+    // a lone 'c') is skipped by both paths.
+    bool any_arom_bond = false;
+    for (auto& [a, b, t] : mol->bonds)
+      if (t == 3) { any_arom_bond = true; break; }
+    if (any_arom_bond) {
+      Mol kek = *mol;
+      if (!kekulize(&kek)) return false;
+    }
   }
   return sanitize_ok(*mol);
 }

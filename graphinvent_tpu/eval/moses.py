@@ -76,15 +76,24 @@ def _canon_worker(smiles: str) -> Optional[str]:
     return canonicalize(smiles)
 
 
+def _pool_map(worker, items: Sequence, n_jobs: int,
+              chunksize: int = 256) -> list:
+    """Fork-pool map with a serial fallback for small inputs.  The single
+    home of the fork policy: every pool in this module MUST run before
+    jax initializes (see compute_metrics), and fork is the only start
+    method that shares the imported chemistry modules for free."""
+    if n_jobs and n_jobs > 1 and len(items) > 4 * chunksize:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n_jobs) as pool:
+            return pool.map(worker, items, chunksize=chunksize)
+    return [worker(s) for s in items]
+
+
 def canonicalize_all(smiles: Sequence[str], n_jobs: int = 0,
                      chunksize: int = 256) -> List[Optional[str]]:
     """Canonicalize a batch, optionally across processes (the parser is
     pure Python; 8 workers give ~6x on 100k-molecule sets)."""
-    if n_jobs and n_jobs > 1 and len(smiles) > 4 * chunksize:
-        ctx = mp.get_context("fork")
-        with ctx.Pool(n_jobs) as pool:
-            return pool.map(_canon_worker, smiles, chunksize=chunksize)
-    return [canonicalize(s) for s in smiles]
+    return _pool_map(_canon_worker, smiles, n_jobs, chunksize)
 
 
 # ==========================================================================
@@ -151,11 +160,7 @@ def _scaffold_worker(smiles: Optional[str]) -> Optional[str]:
 
 def scaffolds_all(canon: Sequence[Optional[str]], n_jobs: int = 0,
                   chunksize: int = 256) -> List[Optional[str]]:
-    if n_jobs and n_jobs > 1 and len(canon) > 4 * chunksize:
-        ctx = mp.get_context("fork")
-        with ctx.Pool(n_jobs) as pool:
-            return pool.map(_scaffold_worker, canon, chunksize=chunksize)
-    return [_scaffold_worker(s) for s in canon]
+    return _pool_map(_scaffold_worker, canon, n_jobs, chunksize)
 
 
 # ==========================================================================
@@ -191,8 +196,11 @@ def internal_diversity_both(fps: np.ndarray,
 
 def internal_diversity(fps: np.ndarray, p: int = 1,
                        block: int = 2048) -> float:
-    """Single-p convenience wrapper over :func:`internal_diversity_both`."""
-    return internal_diversity_both(fps, block)[0 if p == 1 else 1]
+    """Single-p convenience wrapper over :func:`internal_diversity_both`
+    (MOSES reports p=1 and p=2; other powers are not supported)."""
+    if p not in (1, 2):
+        raise ValueError(f"internal_diversity supports p in (1, 2), got {p}")
+    return internal_diversity_both(fps, block)[p - 1]
 
 
 # ==========================================================================
@@ -233,13 +241,6 @@ def _fp_worker(smiles: str):
         return None
 
 
-def _pool_map(worker, items: Sequence[str], n_jobs: int,
-              chunksize: int = 128) -> list:
-    if n_jobs and n_jobs > 1 and len(items) > 4 * chunksize:
-        ctx = mp.get_context("fork")
-        with ctx.Pool(n_jobs) as pool:
-            return pool.map(worker, items, chunksize=chunksize)
-    return [worker(s) for s in items]
 
 
 # ==========================================================================

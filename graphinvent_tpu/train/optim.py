@@ -117,14 +117,14 @@ def onecycle_eval(sched: jnp.ndarray, step: jnp.ndarray,
 def onecycle_for_config(cfg: GraphInventConfig, steps_per_epoch: int) -> OneCycle:
     """Mirrors Workflow.define_model_and_optimizer's two scheduler shapes."""
     max_lr = cfg.max_rel_lr * cfg.init_lr
-    if cfg.job_type == "fine-tune":
-        return OneCycle(max_lr=max_lr, total_steps=cfg.epochs,
-                        pct_start=0.05, div_factor=1.0 / cfg.max_rel_lr,
-                        final_div_factor=1.0 / cfg.min_rel_lr)
     # schedule_epochs: chunked-resume override (workflow restart trains
     # cfg.epochs MORE epochs; the LR plan must still span the ORIGINAL
     # total or a resumed run would collapse to min_lr / restart the cycle)
     total_epochs = cfg.schedule_epochs or cfg.epochs
+    if cfg.job_type == "fine-tune":
+        return OneCycle(max_lr=max_lr, total_steps=total_epochs,
+                        pct_start=0.05, div_factor=1.0 / cfg.max_rel_lr,
+                        final_div_factor=1.0 / cfg.min_rel_lr)
     return OneCycle(max_lr=max_lr, total_steps=steps_per_epoch * total_epochs)
 
 

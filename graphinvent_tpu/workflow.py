@@ -316,7 +316,11 @@ class Workflow:
             # (BlockDatasetLoader.py:135-143 + Workflow.py:781-783); the
             # jitted steps unpack on device (train/step.py batch_arrays)
             packed = bool(cfg.stream_packed)
-            apd_nnz = cfg.stream_apd_nnz if packed else 0
+            # sparse wire is single-process only: the dense fallback is a
+            # per-host per-batch decision, and one host falling back while
+            # its peers stay sparse would hand the collective step
+            # mismatched batch pytrees (SPMD hang)
+            apd_nnz = cfg.stream_apd_nnz if (packed and n_proc == 1) else 0
             train_loader = BlockLoader(train_ds, local_bs,
                                        cfg.block_size, seed=cfg.seed,
                                        packed=packed, apd_nnz=apd_nnz,

@@ -272,6 +272,11 @@ def test_pack_unpack_roundtrip_exact():
     np.testing.assert_array_equal(res.actions, acts)
     np.testing.assert_array_equal(res.properly_terminated, term)
     np.testing.assert_array_equal(res.done, done)
+    # the two-phase module's offset table must track this layout exactly
+    # (a field added to _pack_outputs without updating _row_layout would
+    # resume continuation rows from shifted garbage)
+    from graphinvent_tpu.sampling.two_phase import _row_layout
+    assert _row_layout(cfg)["row_bytes"] == packed.shape[1]
     np.testing.assert_allclose(res.final_loglikelihoods, ll.sum(axis=1),
                                rtol=1e-6)
     assert res.n_rounds == 517
